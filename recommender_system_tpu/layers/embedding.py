@@ -1,0 +1,232 @@
+"""Fused embedding engine: stacked tables, shared names, hashing, varlen pooling.
+
+TPU-native redesign of the reference's embedding subsystem
+(``utils/inputs.py:22-153`` ``create_embedding_dict`` / ``embedding_lookup`` /
+``get_varlen_pooling_list`` and ``EmbedLayer`` ``layer/core.py:267-280``):
+
+Instead of one ``Embedding`` layer per feature (26 small gathers for Criteo), all
+tables that share an embedding dim are **stacked into one ``[total_rows, dim]``
+array** with static per-table row offsets. A batch's single-valued sparse features
+of that dim become one ``[B, F]`` id matrix + offset vector -> **one gather**. This
+is the layout that row-shards cleanly across a device mesh (see
+``parallel/embedding.py``) and keeps HBM reads coalesced.
+
+Capability parity:
+- shared tables via ``embedding_name`` (same name -> same offset; DIEN's query /
+  history sharing, ``model/dien.py:180-183``)
+- ``use_hash`` -> on-device murmur hash into the vocab (``layer/utils.py:21-65``)
+- ``trainable=False`` -> stop_gradient on the gathered slice
+- mask-zero semantics: row 0 of every table is the padding row
+- varlen pooling sum/mean/max with optional per-position weights + normalization
+  (``layer/sequence.py:21-175``)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.seqpool import id_mask, length_mask, sequence_pooling, weighted_sequence
+from ..utils.features import (DenseFeat, FeatureColumn, SparseFeat,
+                              VarLenSparseFeat, split_columns)
+from ..utils.hashing import hash_ids
+
+
+@dataclasses.dataclass
+class _TableSpec:
+    name: str
+    vocab: int
+    dim: int
+    init_std: float
+    trainable: bool
+    offset: int = 0
+
+
+def build_table_specs(feature_columns: Sequence[FeatureColumn]) -> Dict[int, Dict[str, _TableSpec]]:
+    """Unique tables grouped by dim, with row offsets into the per-dim stack."""
+    by_dim: Dict[int, Dict[str, _TableSpec]] = {}
+    for fc in feature_columns:
+        if isinstance(fc, DenseFeat):
+            continue
+        name = fc.embedding_name
+        group = by_dim.setdefault(fc.embedding_dim, {})
+        if name in group:
+            # Shared table: vocab must agree (max wins, tolerant like the
+            # reference's dict overwrite at utils/inputs.py:39-41).
+            group[name].vocab = max(group[name].vocab, fc.vocabulary_size)
+        else:
+            group[name] = _TableSpec(name, fc.vocabulary_size, fc.embedding_dim,
+                                     fc.init_std, fc.trainable)
+    for dim, group in by_dim.items():
+        offset = 0
+        for spec in group.values():
+            spec.offset = offset
+            offset += spec.vocab
+    return by_dim
+
+
+@dataclasses.dataclass
+class EmbedOutputs:
+    """Everything a model needs from the feature pipeline for one batch."""
+
+    sparse: Dict[str, jax.Array]        # name -> [B, d]
+    varlen_raw: Dict[str, jax.Array]    # name -> [B, T, d] (pre-pooling)
+    varlen_mask: Dict[str, jax.Array]   # name -> [B, T] bool
+    pooled: Dict[str, jax.Array]        # name -> [B, d]
+    dense: Optional[jax.Array]          # [B, sum(dims)] or None
+
+    def sparse_stack(self, names: Optional[Sequence[str]] = None) -> jax.Array:
+        """Stack single-valued sparse embeddings into [B, F, d] (uniform dim)."""
+        vals = [self.sparse[n] for n in (names or self.sparse.keys())]
+        return jnp.stack(vals, axis=1)
+
+    def concat_flat(self, include_dense: bool = True,
+                    sparse_names: Optional[Sequence[str]] = None) -> jax.Array:
+        """Flattened [sparse embeds | pooled varlen | dense] — the
+        ``combined_dnn_input`` idiom (``layer/utils.py:140-150``)."""
+        parts = [self.sparse[n] for n in (sparse_names or self.sparse.keys())]
+        parts += list(self.pooled.values())
+        if include_dense and self.dense is not None:
+            parts.append(self.dense)
+        return jnp.concatenate(parts, axis=-1) if parts else None
+
+
+class EmbeddingCollection(nn.Module):
+    """The fused lookup front-end (see module docstring)."""
+
+    feature_columns: Tuple[FeatureColumn, ...]
+
+    def setup(self):
+        cols = self.feature_columns
+        self._sparse_cols, self._varlen_cols, self._dense_cols = split_columns(cols)
+        self._specs = build_table_specs(cols)
+        stacks = {}
+        for dim, group in self._specs.items():
+            total = sum(s.vocab for s in group.values())
+            std = max(s.init_std for s in group.values())
+            stacks[dim] = self.param(
+                f"table_d{dim}",
+                nn.initializers.normal(stddev=std),
+                (total, dim),
+            )
+        self._stacks = stacks
+
+    def _resolve_ids(self, fc, ids: jax.Array) -> jax.Array:
+        spec = self._specs[fc.embedding_dim][fc.embedding_name]
+        if fc.use_hash:
+            ids = hash_ids(ids, spec.vocab, mask_zero=True)
+        ids = jnp.clip(ids, 0, spec.vocab - 1)
+        return ids + spec.offset
+
+    def _take(self, fc, rows: jax.Array) -> jax.Array:
+        out = jnp.take(self._stacks[fc.embedding_dim], rows, axis=0)
+        if not fc.trainable:
+            out = jax.lax.stop_gradient(out)
+        return out
+
+    def lookup(self, fc, ids: jax.Array) -> jax.Array:
+        """Embed arbitrary-shape ids for one feature column -> ids.shape + [d]."""
+        return self._take(fc, self._resolve_ids(fc, ids))
+
+    def __call__(self, batch: Dict[str, jax.Array],
+                 columns: Optional[Sequence[FeatureColumn]] = None) -> EmbedOutputs:
+        if columns is None:
+            sparse_cols, varlen_cols, dense_cols = (
+                self._sparse_cols, self._varlen_cols, self._dense_cols)
+        else:
+            sparse_cols, varlen_cols, dense_cols = split_columns(columns)
+
+        # --- fused single-valued sparse lookup: one gather per dim group ---
+        sparse: Dict[str, jax.Array] = {}
+        by_dim: Dict[int, list] = {}
+        for fc in sparse_cols:
+            by_dim.setdefault(fc.embedding_dim, []).append(fc)
+        for dim, fcs in by_dim.items():
+            rows = jnp.stack(
+                [self._resolve_ids(fc, batch[fc.name].reshape(-1)) for fc in fcs],
+                axis=1)  # [B, F]
+            embeds = jnp.take(self._stacks[dim], rows, axis=0)  # [B, F, d]
+            for i, fc in enumerate(fcs):
+                e = embeds[:, i, :]
+                if not fc.trainable:
+                    e = jax.lax.stop_gradient(e)
+                sparse[fc.name] = e
+
+        # --- varlen features: raw sequences, masks, pooled vectors ---
+        varlen_raw: Dict[str, jax.Array] = {}
+        varlen_mask: Dict[str, jax.Array] = {}
+        pooled: Dict[str, jax.Array] = {}
+        for fc in varlen_cols:
+            ids = batch[fc.name]  # [B, T]
+            seq = self.lookup(fc, ids)  # [B, T, d]
+            if fc.length_name is not None:
+                mask = length_mask(batch[fc.length_name], fc.maxlen)
+            else:
+                mask = id_mask(ids)
+            varlen_raw[fc.name] = seq
+            varlen_mask[fc.name] = mask
+            if fc.weight_name is not None:
+                seq_w = weighted_sequence(seq, batch[fc.weight_name], mask,
+                                          normalize=fc.weight_norm)
+            else:
+                seq_w = seq
+            pooled[fc.name] = sequence_pooling(seq_w, mask, mode=fc.combiner)
+
+        # --- dense features (+ optional transform_fn) ---
+        dense = None
+        if dense_cols:
+            parts = []
+            for fc in dense_cols:
+                v = batch[fc.name]
+                if v.ndim == 1:
+                    v = v[:, None]
+                if fc.transform_fn is not None:
+                    v = fc.transform_fn(v)
+                parts.append(v.astype(jnp.float32))
+            dense = jnp.concatenate(parts, axis=-1)
+
+        return EmbedOutputs(sparse, varlen_raw, varlen_mask, pooled, dense)
+
+
+class LinearEmbedding(nn.Module):
+    """First-order (wide) logit: per-id scalar weights + dense weights.
+
+    The linear part of FM/Wide&Deep — equivalent to a dim-1 ``EmbeddingCollection``
+    over the one-hot encoding (``WideLayer``, ``layer/interaction.py:11-26`` /
+    ``FMLayer`` w1, ``layer/interaction.py:97-103``) without materializing one-hots.
+    """
+
+    feature_columns: Tuple[FeatureColumn, ...]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jax.Array]) -> jax.Array:
+        sparse_cols, varlen_cols, dense_cols = split_columns(self.feature_columns)
+        linear_cols = []
+        for fc in sparse_cols:
+            linear_cols.append(dataclasses.replace(
+                fc, embedding_dim=1, embedding_name=f"linear_{fc.embedding_name}",
+                init_std=1e-4))
+        for fc in varlen_cols:
+            linear_cols.append(dataclasses.replace(
+                fc, sparsefeat=dataclasses.replace(
+                    fc.sparsefeat, embedding_dim=1,
+                    embedding_name=f"linear_{fc.embedding_name}", init_std=1e-4)))
+        linear_cols += dense_cols
+        out = EmbeddingCollection(tuple(linear_cols), name="linear_tables")(batch)
+        logit = jnp.zeros((next(iter(batch.values())).shape[0], 1), jnp.float32)
+        for v in out.sparse.values():
+            logit = logit + v
+        for v in out.pooled.values():
+            logit = logit + v
+        if out.dense is not None:
+            w = self.param("dense_w", nn.initializers.normal(1e-4),
+                           (out.dense.shape[-1], 1))
+            logit = logit + jnp.dot(out.dense, w, preferred_element_type=jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (1,))
+            logit = logit + b
+        return logit  # [B, 1]

@@ -1,0 +1,93 @@
+"""Device mesh + sharding rules: the pjit/GSPMD foundation.
+
+The reference is strictly single-process (``utils/compile_fit.py:9-15``; SURVEY.md
+§2.4: no tf.distribute/NCCL/MPI anywhere). This module is new design surface:
+
+- ``make_mesh(data, model)`` — a 2-axis ``jax.sharding.Mesh`` ('data' for batch /
+  DP, 'model' for table row-sharding / EP).
+- ``embedding_sharding_rules`` — embedding stacks (``table_d*``) are row-sharded
+  across *all* mesh devices (a hashed id is equally likely to live anywhere, and
+  rows are fetched by id, so sharding rows over data x model both balances memory
+  and parallelizes the gather); dense tower params are replicated and their grads
+  psum over 'data' (inserted automatically by GSPMD).
+- ``shard_batch`` / ``shard_state`` — placement helpers.
+
+XLA compiles the resulting collectives onto ICI; the explicit shard_map
+all-to-all path lives in ``parallel/embedding.py``.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh. ``data=None`` uses all remaining devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model <= n, (data, model, n)
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch axis split over 'data' (leading dim)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def table_sharding(mesh: Mesh) -> NamedSharding:
+    """Embedding stack rows split over every device (data x model)."""
+    return NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None))
+
+
+def is_embedding_table_path(path) -> bool:
+    """True if a pytree key-path addresses a fused embedding stack param."""
+    for entry in path:
+        key = getattr(entry, "key", None)
+        if isinstance(key, str) and key.startswith("table_d"):
+            return True
+    return False
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree: table stacks row-sharded, everything else replicated."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: table_sharding(mesh)
+        if is_embedding_table_path(path) else replicated(mesh),
+        params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_state(state, mesh: Mesh):
+    """Place a TrainState: params/opt_state by param rules, scalars replicated."""
+    shardings = state_shardings(state, mesh)
+    return jax.tree.map(jax.device_put, state, shardings)
+
+
+def state_shardings(state, mesh: Mesh):
+    """Sharding pytree matching a TrainState (opt_state mirrors params rules)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: table_sharding(mesh)
+        if (is_embedding_table_path(path)
+            and getattr(leaf, "ndim", 0) == 2) else replicated(mesh),
+        state)

@@ -1,0 +1,358 @@
+"""Host-side data pipeline: Criteo, MovieLens behavior sequences, toys, synthetic.
+
+Replaces the reference's pandas/sklearn pipeline (``utils/dataset.py``,
+``utils/inputs.py:156-211``) with loaders that emit the unified typed schema of
+``features.py`` and fixed-shape numpy batches ready for jit. Differences by design:
+
+- One schema for every model (the reference splits into dict-based vs typed columns).
+- Categoricals can be *hashed* into fixed bucket counts (north-star: hashed
+  multi-million-row tables) instead of only LabelEncoded.
+- Fixed deterministic train/test splits (reference uses random
+  ``train_test_split``, ``utils/dataset.py:63``) so parity numbers are reproducible.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .features import DenseFeat, SparseFeat, VarLenSparseFeat
+from .hashing import hash_strings_np
+
+REFERENCE_DATA_DIR = "/root/reference/algorithm/data"
+
+CRITEO_DENSE = [f"I{i}" for i in range(1, 14)]
+CRITEO_SPARSE = [f"C{i}" for i in range(1, 27)]
+
+
+# ---------------------------------------------------------------------------
+# Criteo
+# ---------------------------------------------------------------------------
+
+def load_criteo(
+    path: Optional[str] = None,
+    embedding_dim: int = 8,
+    hash_buckets: Optional[int] = None,
+    test_frac: float = 0.2,
+    max_rows: Optional[int] = None,
+) -> Tuple[list, Dict[str, np.ndarray], np.ndarray, Dict[str, np.ndarray], np.ndarray]:
+    """Load the Criteo TSV sample into typed columns + train/test batches.
+
+    Mirrors ``create_criteo_dataset``/``features_dict``
+    (``/root/reference/algorithm/deep_learning/utils/dataset.py:30-75``):
+    fillna (0 for dense, missing token for sparse), MinMax-scale I1..I13,
+    integer-encode C1..C26 (LabelEncoder parity) or hash into ``hash_buckets``.
+    Vocab sizes are nunique+1 with id 0 reserved for unseen/missing.
+
+    The split is deterministic: last ``test_frac`` of rows.
+
+    Returns (feature_columns, X_train, y_train, X_test, y_test).
+    """
+    import pandas as pd
+
+    if path is None:
+        path = os.path.join(REFERENCE_DATA_DIR, "criteo", "train_1w.txt")
+    names = ["label"] + CRITEO_DENSE + CRITEO_SPARSE
+    df = pd.read_csv(path, sep="\t", header=None, names=names, nrows=max_rows)
+
+    df[CRITEO_DENSE] = df[CRITEO_DENSE].fillna(0.0).astype(np.float64)
+    # MinMax scale dense (parity: utils/dataset.py:44-46).
+    for c in CRITEO_DENSE:
+        lo, hi = df[c].min(), df[c].max()
+        df[c] = (df[c] - lo) / (hi - lo) if hi > lo else 0.0
+    df[CRITEO_SPARSE] = df[CRITEO_SPARSE].fillna("-1")
+
+    columns: list = [DenseFeat(c, 1) for c in CRITEO_DENSE]
+    X: Dict[str, np.ndarray] = {c: df[c].to_numpy(np.float32)[:, None] for c in CRITEO_DENSE}
+
+    for c in CRITEO_SPARSE:
+        vals = df[c].astype(str).to_numpy()
+        if hash_buckets is not None:
+            ids = hash_strings_np(vals, hash_buckets, mask_zero=True)
+            vocab = hash_buckets
+        else:
+            uniq, inv = np.unique(vals, return_inverse=True)
+            ids = inv + 1  # 0 reserved for unseen (vocab = nunique+1, dataset.py:73)
+            vocab = len(uniq) + 1
+        columns.append(SparseFeat(c, vocab, embedding_dim))
+        X[c] = ids.astype(np.int32)
+
+    y = df["label"].to_numpy(np.float32)
+    n = len(y)
+    n_test = int(n * test_frac)
+    tr = slice(0, n - n_test)
+    te = slice(n - n_test, n)
+    X_train = {k: v[tr] for k, v in X.items()}
+    X_test = {k: v[te] for k, v in X.items()}
+    return columns, X_train, y[tr], X_test, y[te]
+
+
+# ---------------------------------------------------------------------------
+# MovieLens behavior sequences (DIN/DIEN-style)
+# ---------------------------------------------------------------------------
+
+def load_movielens_ratings(path: Optional[str] = None):
+    """ml-100k ``u.data``: user_id \\t item_id \\t rating \\t timestamp."""
+    import pandas as pd
+
+    if path is None:
+        path = os.path.join(REFERENCE_DATA_DIR, "ml-100k", "u.data")
+    return pd.read_csv(
+        path, sep="\t", header=None,
+        names=["user_id", "item_id", "rating", "timestamp"],
+    )
+
+
+def build_behavior_dataset(
+    ratings=None,
+    seq_len: int = 10,
+    embedding_dim: int = 8,
+    like_threshold: int = 3,
+    test_frac: float = 0.2,
+) -> Tuple[list, Dict[str, np.ndarray], np.ndarray, Dict[str, np.ndarray], np.ndarray]:
+    """Behavior-sequence CTR dataset for DIN/DIEN.
+
+    Capability parity with ``create_movies_dataset``
+    (``utils/dataset.py:102-167``): per user, the chronologically-last interaction
+    is the labeled example (label = rating > like_threshold) and the top-``seq_len``
+    liked earlier movies form the behavior history, padded with id 0.
+
+    Emits typed columns: SparseFeat user_id/item_id + VarLenSparseFeat hist_item_id
+    sharing the item_id embedding table (the shared-table semantics DIEN relies on,
+    ``model/dien.py:180-183``).
+    """
+    import pandas as pd
+
+    if ratings is None:
+        ratings = load_movielens_ratings()
+    ratings = ratings.sort_values("timestamp")
+
+    n_users = int(ratings["user_id"].max()) + 1
+    n_items = int(ratings["item_id"].max()) + 1
+
+    users, items, labels, hists, hist_lens = [], [], [], [], []
+    for uid, grp in ratings.groupby("user_id", sort=False):
+        if len(grp) < 2:
+            continue
+        hist_grp, last = grp.iloc[:-1], grp.iloc[-1]
+        liked = hist_grp[hist_grp["rating"] > like_threshold]
+        seq = liked.sort_values("rating", ascending=False)["item_id"].to_numpy()[:seq_len]
+        pad = np.zeros(seq_len, dtype=np.int32)
+        pad[: len(seq)] = seq
+        users.append(uid)
+        items.append(int(last["item_id"]))
+        labels.append(1.0 if last["rating"] > like_threshold else 0.0)
+        hists.append(pad)
+        hist_lens.append(len(seq))
+
+    item_feat = SparseFeat("item_id", n_items, embedding_dim)
+    columns = [
+        SparseFeat("user_id", n_users, embedding_dim),
+        item_feat,
+        VarLenSparseFeat(
+            SparseFeat("hist_item_id", n_items, embedding_dim, embedding_name="item_id"),
+            maxlen=seq_len, combiner="mean", length_name="hist_len",
+        ),
+    ]
+    X = {
+        "user_id": np.asarray(users, np.int32),
+        "item_id": np.asarray(items, np.int32),
+        "hist_item_id": np.stack(hists).astype(np.int32),
+        "hist_len": np.asarray(hist_lens, np.int32),
+    }
+    y = np.asarray(labels, np.float32)
+    n = len(y)
+    n_test = int(n * test_frac)
+    X_train = {k: v[: n - n_test] for k, v in X.items()}
+    X_test = {k: v[n - n_test:] for k, v in X.items()}
+    return columns, X_train, y[: n - n_test], X_test, y[n - n_test:]
+
+
+def gen_sequence_dataset(
+    interactions,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    time_col: str = "timestamp",
+    seq_max_len: int = 50,
+    negsample: int = 0,
+    seed: int = 0,
+):
+    """Chronological prefix expansion for retrieval training (DSSM).
+
+    Capability parity with ``gen_data_set`` (``utils/inputs.py:156-191``): each
+    prefix of a user's item sequence becomes a training example predicting the next
+    item; the final interaction per user is the test example; optional uniform
+    negative sampling of unseen items.
+
+    Returns (train_rows, test_rows) where each row is
+    (user_id, item_id, label, hist array padded to seq_max_len, hist_len).
+    """
+    rng = np.random.default_rng(seed)
+    interactions = interactions.sort_values(time_col)
+    all_items = interactions[item_col].unique()
+
+    train_rows, test_rows = [], []
+    for uid, grp in interactions.groupby(user_col, sort=False):
+        pos = grp[item_col].tolist()
+        if len(pos) < 2:
+            continue
+        neg = None
+        if negsample > 0:
+            candidates = np.setdiff1d(all_items, np.asarray(pos))
+            if len(candidates):
+                neg = rng.choice(candidates, size=len(pos) * negsample, replace=True)
+        for i in range(1, len(pos)):
+            hist = pos[:i][::-1][:seq_max_len]  # most-recent-first (inputs.py:177)
+            padded = np.zeros(seq_max_len, dtype=np.int32)
+            padded[: len(hist)] = hist
+            row = (uid, pos[i], 1.0, padded, len(hist))
+            if i != len(pos) - 1:
+                train_rows.append(row)
+                if neg is not None:
+                    for k in range(negsample):
+                        train_rows.append(
+                            (uid, int(neg[i * negsample + k]), 0.0, padded, len(hist)))
+            else:
+                test_rows.append(row)
+    rng.shuffle(train_rows)
+    rng.shuffle(test_rows)
+    return train_rows, test_rows
+
+
+def rows_to_batch(rows, seq_max_len: int) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+    """Pack gen_sequence_dataset rows into a model-input dict
+    (parity: ``gen_model_input``, ``utils/inputs.py:194-211``)."""
+    X = {
+        "user_id": np.asarray([r[0] for r in rows], np.int32),
+        "item_id": np.asarray([r[1] for r in rows], np.int32),
+        "hist_item_id": np.stack([r[3] for r in rows]).astype(np.int32),
+        "hist_len": np.asarray([r[4] for r in rows], np.int32),
+    }
+    y = np.asarray([r[2] for r in rows], np.float32)
+    return X, y
+
+
+# ---------------------------------------------------------------------------
+# Toy / synthetic data
+# ---------------------------------------------------------------------------
+
+def load_logireg(path: Optional[str] = None) -> Tuple[np.ndarray, np.ndarray]:
+    """The 100-row logistic-regression toy set (``data/LogiReg_data.txt``)."""
+    if path is None:
+        path = os.path.join(REFERENCE_DATA_DIR, "LogiReg_data.txt")
+    arr = np.loadtxt(path, delimiter=",")
+    return arr[:, :2].astype(np.float32), arr[:, 2].astype(np.float32)
+
+
+def synthetic_criteo(
+    n_rows: int = 4096,
+    n_dense: int = 13,
+    n_sparse: int = 26,
+    vocab: int = 1000,
+    embedding_dim: int = 8,
+    seed: int = 0,
+) -> Tuple[list, Dict[str, np.ndarray], np.ndarray]:
+    """Criteo-shaped synthetic data with a learnable signal (for tests/bench)."""
+    rng = np.random.default_rng(seed)
+    columns: list = []
+    X: Dict[str, np.ndarray] = {}
+    logits = np.zeros(n_rows)
+    for i in range(n_dense):
+        name = f"I{i + 1}"
+        v = rng.uniform(0, 1, n_rows).astype(np.float32)
+        X[name] = v[:, None]
+        columns.append(DenseFeat(name, 1))
+        logits += (0.5 if i % 2 == 0 else -0.5) * (v - 0.5)
+    for i in range(n_sparse):
+        name = f"C{i + 1}"
+        ids = rng.integers(1, vocab, n_rows).astype(np.int32)
+        X[name] = ids
+        columns.append(SparseFeat(name, vocab, embedding_dim))
+        logits += 0.3 * np.sin(ids * (i + 1) * 0.37)
+    y = (rng.uniform(size=n_rows) < 1.0 / (1.0 + np.exp(-logits))).astype(np.float32)
+    return columns, X, y
+
+
+def synthetic_behavior(
+    n_rows: int = 2048,
+    n_items: int = 500,
+    n_users: int = 200,
+    seq_len: int = 10,
+    embedding_dim: int = 8,
+    seed: int = 0,
+):
+    """Behavior-sequence synthetic data: label depends on whether the target item's
+    "category" (item_id % 8) appears in the history — the signal DIN attention
+    should pick up."""
+    rng = np.random.default_rng(seed)
+    user = rng.integers(1, n_users, n_rows).astype(np.int32)
+    item = rng.integers(1, n_items, n_rows).astype(np.int32)
+    hist = rng.integers(1, n_items, (n_rows, seq_len)).astype(np.int32)
+    hist_len = rng.integers(1, seq_len + 1, n_rows).astype(np.int32)
+    pos_mask = np.arange(seq_len)[None, :] < hist_len[:, None]
+    hist = np.where(pos_mask, hist, 0)
+    match = ((hist % 8) == (item[:, None] % 8)) & pos_mask
+    p = np.where(match.any(1), 0.85, 0.2)
+    y = (rng.uniform(size=n_rows) < p).astype(np.float32)
+
+    columns = [
+        SparseFeat("user_id", n_users, embedding_dim),
+        SparseFeat("item_id", n_items, embedding_dim),
+        VarLenSparseFeat(
+            SparseFeat("hist_item_id", n_items, embedding_dim, embedding_name="item_id"),
+            maxlen=seq_len, combiner="mean", length_name="hist_len",
+        ),
+    ]
+    X = {"user_id": user, "item_id": item, "hist_item_id": hist, "hist_len": hist_len}
+    return columns, X, y
+
+
+# ---------------------------------------------------------------------------
+# Batching
+# ---------------------------------------------------------------------------
+
+def iter_batches(
+    X: Dict[str, np.ndarray],
+    y: Optional[np.ndarray],
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_remainder: bool = True,
+) -> Iterator:
+    """Minibatch iterator over a dict-of-arrays dataset (fixed shapes for jit).
+
+    Replaces ``tf.data.Dataset.from_tensor_slices(...).batch(...).prefetch``
+    (``utils/compile_fit.py:10-11``). With ``drop_remainder`` every batch has the
+    same shape so the jitted train step compiles exactly once.
+    """
+    is_dict = isinstance(X, dict)
+    n = len(next(iter(X.values()))) if is_dict else len(X)
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    stop = n - batch_size + 1 if drop_remainder else n
+    for start in range(0, max(stop, 0), batch_size):
+        sel = idx[start: start + batch_size]
+        xb = {k: v[sel] for k, v in X.items()} if is_dict else X[sel]
+        if y is None:
+            yield xb
+        else:
+            yield xb, y[sel]
+
+
+def pad_to_batch(X, y, batch_size: int):
+    """Pad the last partial batch up to ``batch_size`` returning a validity mask."""
+    is_dict = isinstance(X, dict)
+    n = len(next(iter(X.values()))) if is_dict else len(X)
+    pad = (-n) % batch_size
+    if pad == 0:
+        return X, y, np.ones(n, bool)
+    if is_dict:
+        Xp = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+              for k, v in X.items()}
+    else:
+        Xp = np.concatenate([X, np.repeat(X[-1:], pad, axis=0)])
+    yp = None if y is None else np.concatenate([y, np.zeros(pad, y.dtype)])
+    mask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    return Xp, yp, mask

@@ -1,0 +1,101 @@
+"""Data pipeline tests: Criteo loader, behavior sequences, hashing, batching."""
+import os
+
+import numpy as np
+import pytest
+
+from recommender_system_tpu.utils.datasets import (REFERENCE_DATA_DIR,
+                                                   build_behavior_dataset,
+                                                   gen_sequence_dataset,
+                                                   iter_batches, load_criteo,
+                                                   load_movielens_ratings,
+                                                   pad_to_batch, rows_to_batch,
+                                                   synthetic_criteo)
+from recommender_system_tpu.utils.features import (SparseFeat, VarLenSparseFeat,
+                                                   get_feature_names)
+from recommender_system_tpu.utils.hashing import hash_ids, hash_strings_np
+
+HAS_CRITEO = os.path.exists(
+    os.path.join(REFERENCE_DATA_DIR, "criteo", "train_1w.txt"))
+HAS_ML100K = os.path.exists(os.path.join(REFERENCE_DATA_DIR, "ml-100k", "u.data"))
+
+
+@pytest.mark.skipif(not HAS_CRITEO, reason="criteo sample not mounted")
+def test_load_criteo_label_encoded():
+    cols, Xtr, ytr, Xte, yte = load_criteo(max_rows=2000)
+    assert len(cols) == 39
+    assert len(ytr) + len(yte) == 2000
+    sparse = [c for c in cols if isinstance(c, SparseFeat)]
+    assert len(sparse) == 26
+    for c in sparse:
+        assert Xtr[c.name].max() < c.vocabulary_size
+        assert Xtr[c.name].min() >= 0
+    # dense scaled to [0, 1]
+    assert Xtr["I1"].min() >= 0 and Xtr["I1"].max() <= 1.0
+
+
+@pytest.mark.skipif(not HAS_CRITEO, reason="criteo sample not mounted")
+def test_load_criteo_hashed():
+    cols, Xtr, _, _, _ = load_criteo(max_rows=500, hash_buckets=1000)
+    sparse = [c for c in cols if isinstance(c, SparseFeat)]
+    assert all(c.vocabulary_size == 1000 for c in sparse)
+    assert all(Xtr[c.name].max() < 1000 for c in sparse)
+
+
+@pytest.mark.skipif(not HAS_ML100K, reason="ml-100k not mounted")
+def test_behavior_dataset():
+    cols, Xtr, ytr, Xte, yte = build_behavior_dataset(seq_len=10)
+    assert set(Xtr) == {"user_id", "item_id", "hist_item_id", "hist_len"}
+    assert Xtr["hist_item_id"].shape[1] == 10
+    assert set(np.unique(ytr)) <= {0.0, 1.0}
+    varlen = [c for c in cols if isinstance(c, VarLenSparseFeat)]
+    assert varlen[0].sparsefeat.embedding_name == "item_id"
+
+
+@pytest.mark.skipif(not HAS_ML100K, reason="ml-100k not mounted")
+def test_gen_sequence_dataset_prefix_expansion():
+    ratings = load_movielens_ratings().head(5000)
+    train, test = gen_sequence_dataset(ratings, seq_max_len=8)
+    assert len(train) > 0 and len(test) > 0
+    X, y = rows_to_batch(train[:100], 8)
+    assert X["hist_item_id"].shape == (100, 8)
+    # most-recent-first histories: first slot is always a real item
+    nonzero = X["hist_item_id"][:, 0] != 0
+    assert nonzero.all()
+
+
+def test_hash_ids_properties():
+    ids = np.arange(1000, dtype=np.int32)
+    h = np.asarray(hash_ids(ids, 64, mask_zero=True))
+    assert h[0] == 0  # padding preserved
+    assert h[1:].min() >= 1 and h.max() < 64
+    # roughly uniform occupancy
+    counts = np.bincount(h[1:], minlength=64)[1:]
+    assert counts.max() < 4 * counts.mean()
+
+
+def test_hash_strings_deterministic():
+    vals = ["a", "b", "a", "", None]
+    h1 = hash_strings_np(vals, 100, mask_zero=True)
+    h2 = hash_strings_np(vals, 100, mask_zero=True)
+    np.testing.assert_array_equal(h1, h2)
+    assert h1[0] == h1[2]
+    assert h1[3] == 0 and h1[4] == 0
+
+
+def test_iter_batches_fixed_shapes():
+    cols, X, y = synthetic_criteo(n_rows=100)
+    shapes = {tuple(xb["C1"].shape) for xb, _ in iter_batches(X, y, 32)}
+    assert shapes == {(32,)}  # drop_remainder keeps shapes static
+
+
+def test_pad_to_batch_mask():
+    cols, X, y = synthetic_criteo(n_rows=70)
+    Xp, yp, valid = pad_to_batch(X, y, 32)
+    assert len(yp) == 96 and valid.sum() == 70
+
+
+def test_feature_names_include_aux():
+    cols = [VarLenSparseFeat(SparseFeat("h", 10, 4), maxlen=3,
+                             length_name="h_len", weight_name="h_w")]
+    assert get_feature_names(cols) == ["h", "h_w", "h_len"]

@@ -1,0 +1,138 @@
+"""Unit tests: every interaction op vs a brute-force numpy reference
+(SURVEY.md §4 plan item (a))."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from recommender_system_tpu.ops.interactions import (
+    bi_interaction, cross_network, ffm_interaction, fm_interaction,
+    pairwise_inner, pairwise_outer, pairwise_product)
+from recommender_system_tpu.ops.seqpool import (
+    length_mask, masked_softmax, sequence_pooling, weighted_sequence)
+
+
+def test_fm_interaction_matches_bruteforce(rng):
+    B, D, K = 7, 11, 5
+    x = rng.normal(size=(B, D)).astype(np.float32)
+    v = rng.normal(size=(D, K)).astype(np.float32)
+    out = np.asarray(fm_interaction(jnp.asarray(x), jnp.asarray(v)))
+    # brute force: sum_{i<j} <v_i, v_j> x_i x_j
+    expected = np.zeros((B, 1))
+    for i in range(D):
+        for j in range(i + 1, D):
+            expected[:, 0] += (v[i] @ v[j]) * x[:, i] * x[:, j]
+    np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_bi_interaction_equals_pairwise_sum(rng):
+    B, F, K = 4, 6, 8
+    e = rng.normal(size=(B, F, K)).astype(np.float32)
+    bi = np.asarray(bi_interaction(jnp.asarray(e)))
+    expected = np.zeros((B, K))
+    for i in range(F):
+        for j in range(i + 1, F):
+            expected += e[:, i] * e[:, j]
+    np.testing.assert_allclose(bi, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_pairwise_inner(rng):
+    B, F, K = 3, 5, 4
+    e = rng.normal(size=(B, F, K)).astype(np.float32)
+    out = np.asarray(pairwise_inner(jnp.asarray(e)))
+    cols = [(e[:, i] * e[:, j]).sum(-1)
+            for i in range(F) for j in range(i + 1, F)]
+    np.testing.assert_allclose(out, np.stack(cols, 1), rtol=1e-4, atol=1e-5)
+
+
+def test_pairwise_product(rng):
+    B, F, K = 3, 4, 6
+    e = rng.normal(size=(B, F, K)).astype(np.float32)
+    out = np.asarray(pairwise_product(jnp.asarray(e)))
+    expected = np.stack([e[:, i] * e[:, j]
+                         for i in range(F) for j in range(i + 1, F)], 1)
+    np.testing.assert_allclose(out, expected, rtol=1e-5)
+
+
+def test_pairwise_outer(rng):
+    B, F, K = 2, 4, 3
+    P = F * (F - 1) // 2
+    e = rng.normal(size=(B, F, K)).astype(np.float32)
+    w = rng.normal(size=(K, P, K)).astype(np.float32)
+    out = np.asarray(pairwise_outer(jnp.asarray(e), jnp.asarray(w)))
+    # reference formulation (layer/interaction.py:205-214)
+    rows = [i for i in range(F) for j in range(i + 1, F)]
+    cols = [j for i in range(F) for j in range(i + 1, F)]
+    expected = np.zeros((B, P))
+    for b in range(B):
+        for p in range(P):
+            pi, qj = e[b, rows[p]], e[b, cols[p]]
+            expected[b, p] = sum(
+                qj[jj] * (pi * w[jj, p, :]).sum() for jj in range(K))
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_cross_network_recurrence(rng):
+    B, D, L = 5, 7, 3
+    x0 = rng.normal(size=(B, D)).astype(np.float32)
+    ws = rng.normal(size=(L, D)).astype(np.float32)
+    bs = rng.normal(size=(L, D)).astype(np.float32)
+    out = np.asarray(cross_network(jnp.asarray(x0), jnp.asarray(ws),
+                                   jnp.asarray(bs)))
+    x = x0.copy()
+    for l in range(L):
+        xw = x @ ws[l]  # [B]
+        x = x0 * xw[:, None] + bs[l][None] + x
+    np.testing.assert_allclose(out, x, rtol=1e-4, atol=1e-4)
+
+
+def test_ffm_interaction(rng):
+    B, F, K = 3, 4, 2
+    fe = rng.normal(size=(B, F, F, K)).astype(np.float32)
+    out = np.asarray(ffm_interaction(jnp.asarray(fe)))
+    expected = np.zeros((B, 1))
+    for i in range(F):
+        for j in range(i + 1, F):
+            expected[:, 0] += (fe[:, i, j] * fe[:, j, i]).sum(-1)
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["sum", "mean", "max"])
+def test_sequence_pooling(rng, mode):
+    B, T, K = 4, 6, 3
+    e = rng.normal(size=(B, T, K)).astype(np.float32)
+    lengths = np.array([1, 3, 6, 0], np.int32)
+    mask = np.asarray(length_mask(jnp.asarray(lengths), T))
+    out = np.asarray(sequence_pooling(jnp.asarray(e), jnp.asarray(mask), mode))
+    for b in range(B):
+        L = lengths[b]
+        if mode == "max":
+            if L > 0:
+                np.testing.assert_allclose(out[b], e[b, :L].max(0), rtol=1e-5)
+        elif mode == "sum":
+            np.testing.assert_allclose(out[b], e[b, :L].sum(0), rtol=1e-4,
+                                       atol=1e-5)
+        else:
+            expected = e[b, :L].sum(0) / (L + 1e-8)
+            np.testing.assert_allclose(out[b], expected, rtol=1e-4, atol=1e-5)
+
+
+def test_weighted_sequence_softmax_normalization(rng):
+    B, T, K = 2, 5, 3
+    e = np.ones((B, T, K), np.float32)
+    w = rng.normal(size=(B, T)).astype(np.float32)
+    mask = np.array([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], bool)
+    out = np.asarray(weighted_sequence(jnp.asarray(e), jnp.asarray(w),
+                                       jnp.asarray(mask), normalize=True))
+    # softmax over valid steps -> weighted (all-ones) rows sum to 1 over time
+    sums = out.sum(axis=(1,))[:, 0]
+    np.testing.assert_allclose(sums, np.ones(B), rtol=1e-5)
+    assert np.all(out[0, 3:] < 1e-6)  # masked steps ~0
+
+
+def test_masked_softmax_zeroes_invalid():
+    scores = jnp.asarray([[1.0, 2.0, 3.0]])
+    mask = jnp.asarray([[True, True, False]])
+    p = np.asarray(masked_softmax(scores, mask))
+    assert p[0, 2] < 1e-6
+    np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-6)
