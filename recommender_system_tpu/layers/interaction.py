@@ -5,7 +5,7 @@ built on the fused ops in ``ops/interactions.py``.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -21,35 +21,50 @@ class FMLayer(nn.Module):
 
     Parity with ``FMLayer`` (``layer/interaction.py:86-114``): w0 + X.w1 +
     0.5*sum((Xv)^2 - X^2 v^2). Returns the raw logit ``[B, 1]``.
+    On TPU this runs as one Pallas kernel (``ops.pallas_kernels.fm_fused``).
     """
 
     factor_dim: int
     init_std: float = 0.05
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
+        from ..ops import dispatch
+        from ..ops.pallas_kernels import fm_fused
+
         d = x.shape[-1]
         w0 = self.param("w0", nn.initializers.zeros, (1,))
         w1 = self.param("w1", nn.initializers.normal(self.init_std), (d, 1))
         v = self.param("v", nn.initializers.normal(self.init_std),
                        (d, self.factor_dim))
+        if dispatch.use_pallas(self.use_pallas):
+            return fm_fused(x, w1, v) + w0
         linear = jnp.dot(x, w1, preferred_element_type=jnp.float32) + w0
         return linear + fm_interaction(x, v)
 
 
 class CrossNet(nn.Module):
-    """DCN cross network stack (``CrossLayer``, ``layer/interaction.py:49-83``)."""
+    """DCN cross network stack (``CrossLayer``, ``layer/interaction.py:49-83``).
+    On TPU the full L-layer recurrence runs as one Pallas kernel
+    (``ops.pallas_kernels.cross_fused``)."""
 
     num_layers: int
     init_std: float = 0.05
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
+        from ..ops import dispatch
+        from ..ops.pallas_kernels import cross_fused
+
         d = x.shape[-1]
         ws = self.param("weights", nn.initializers.normal(self.init_std),
                         (self.num_layers, d))
         bs = self.param("biases", nn.initializers.normal(self.init_std),
                         (self.num_layers, d))
+        if dispatch.use_pallas(self.use_pallas):
+            return cross_fused(x, ws, bs)
         return cross_network(x, ws, bs)
 
 

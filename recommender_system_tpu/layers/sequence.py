@@ -28,20 +28,46 @@ class DinAttention(nn.Module):
     ``weight_normalization=True`` applies masked softmax to the scores (DIN default
     in the standalone ``Attention``; ``AttentionSequencePoolingLayer`` exposes it as
     a flag, ``layer/sequence.py:214``). With False, invalid positions score 0.
+
+    On TPU the whole op (concat-folded MLP scorer + mask + softmax + pooling)
+    runs as one Pallas kernel (``ops.pallas_kernels.din_attention_fused``) when
+    the scorer has exactly 2 hidden layers and a sigmoid/relu activation;
+    otherwise (dice/prelu or other depths) it falls back to the DNN path.
     """
 
     hidden_units: Sequence[int] = (80, 40)
     activation: str = "sigmoid"
     weight_normalization: bool = True
     return_score: bool = False
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, query, keys, mask, values=None, train: bool = False):
+        from ..ops.attention import din_attention
+
+        K = keys.shape[-1]
+        fusable = (len(self.hidden_units) == 2
+                   and self.activation in ("sigmoid", "relu")
+                   and values is None)
+        if fusable:
+            h1, h2 = self.hidden_units
+            glorot = nn.initializers.glorot_uniform()
+            w1 = self.param("w1", glorot, (4 * K, h1))
+            b1 = self.param("b1", nn.initializers.zeros, (h1,))
+            w2 = self.param("w2", glorot, (h1, h2))
+            b2 = self.param("b2", nn.initializers.zeros, (h2,))
+            w3 = self.param("w3", glorot, (h2, 1))
+            b3 = self.param("b3", nn.initializers.zeros, (1,))
+            return din_attention(
+                query, keys, mask, w1, b1, w2, b2, w3, b3,
+                activation=self.activation,
+                weight_normalization=self.weight_normalization,
+                return_scores=self.return_score, use_pallas=self.use_pallas)
+
         if values is None:
             values = keys
-        T = keys.shape[1]
         q = jnp.broadcast_to(query[:, None, :], keys.shape)  # tile over T
-        att_in = jnp.concatenate([q, keys, q - keys, q * keys], axis=-1)  # [B,T,4k]
+        att_in = jnp.concatenate([q, keys, q - keys, q * keys], axis=-1)
         score = DNN(self.hidden_units, activation=self.activation,
                     output_dim=1, name="local_activation_unit")(att_in, train=train)
         score = score[..., 0]  # [B, T]

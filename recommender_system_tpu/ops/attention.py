@@ -1,0 +1,35 @@
+"""Public DIN target-attention op with jax/Pallas dispatch.
+
+``din_attention`` scores a behavior sequence against a target query with a
+2-hidden-layer MLP over ``[q, k, q-k, q*k]`` features, masks invalid steps,
+optionally softmax-normalizes, and pools the values — the fused TPU kernel
+(``pallas_kernels.din_attention_fused``) does all of it in VMEM.
+
+Reference semantics: ``Attention.call`` (``layer/interaction.py:369-406``) and
+``AttentionSequencePoolingLayer``/``LocalActivationUnit``
+(``layer/sequence.py:180-290``, ``layer/core.py:28-120``).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import dispatch
+from .pallas_kernels import din_attention_fused, din_attention_ref
+
+
+def din_attention(query, keys, mask, w1, b1, w2, b2, w3, b3,
+                  activation: str = "sigmoid",
+                  weight_normalization: bool = True,
+                  return_scores: bool = False,
+                  use_pallas: Optional[bool] = None):
+    """query [B,K], keys [B,T,K], mask [B,T] -> pooled [B,K] (or scores [B,T])."""
+    if dispatch.use_pallas(use_pallas):
+        return din_attention_fused(
+            query, keys, mask.astype(jnp.float32), w1, b1, w2, b2, w3, b3,
+            activation, weight_normalization, return_scores)
+    return din_attention_ref(
+        query, keys, mask.astype(bool), w1, b1, w2, b2, w3, b3,
+        activation, weight_normalization, return_scores)

@@ -1,0 +1,45 @@
+"""Kernel dispatch: Pallas vs XLA per op.
+
+Every hot op has a pure-jax reference implementation (ground truth for tests
+and the backward pass) and a fused Pallas TPU kernel. Dispatch policy is
+**measurement-driven** (TPU v5e, 2026-08-17, batch 8192 — see
+``ops/pallas_kernels.py`` docstring): for the FM / cross / DIN-attention
+interaction ops XLA's own fusion is already at the HBM-bandwidth roofline and
+beats the hand kernels (17.8 vs 23us FM; 20.6 vs 37.9us cross; 954 vs 2803us
+DIN), so the default is the XLA path and the Pallas kernels are opt-in
+(``RST_FORCE_PALLAS=1`` or a per-module ``use_pallas=True``). Hand kernels pay
+off where XLA *cannot* fuse — the sharded embedding exchange and fused
+gather+pool paths — which dispatch unconditionally to their custom
+implementations in ``parallel/``.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+_TPU_BACKENDS = ("tpu", "axon")
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.default_backend().lower() in _TPU_BACKENDS or (
+            jax.devices()[0].platform.lower() in _TPU_BACKENDS)
+    except Exception:
+        return False
+
+
+def use_pallas(override: Optional[bool] = None) -> bool:
+    if override is not None:
+        return override
+    if os.environ.get("RST_DISABLE_PALLAS") == "1":
+        return False
+    if os.environ.get("RST_FORCE_PALLAS") == "1":
+        return True
+    return False  # XLA wins on the interaction ops (see module docstring)
+
+
+def interpret_mode() -> bool:
+    """Pallas interpret=True when not on real TPU (CPU tests)."""
+    return not on_tpu()
