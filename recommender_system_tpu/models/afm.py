@@ -13,7 +13,7 @@ from typing import Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers.embedding import EmbeddingCollection, LinearEmbedding
+from ..layers.embedding import EmbeddingCollection, UnifiedEmbedding
 from ..layers.interaction import AFMAttention
 from ..ops.interactions import pairwise_product
 from ..utils.features import FeatureColumn
@@ -27,7 +27,13 @@ class AFM(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
-        emb = EmbeddingCollection(self.feature_columns, name="embeddings")(batch)
+        if self.use_linear:
+            emb, linear_logit = UnifiedEmbedding(self.feature_columns,
+                                                 name="unified")(batch)
+        else:
+            emb = EmbeddingCollection(self.feature_columns,
+                                      name="embeddings")(batch)
+            linear_logit = None
         pairs = pairwise_product(emb.sparse_stack())  # [B, P, k]
         if self.mode == "avg":
             pooled = jnp.mean(pairs, axis=1)
@@ -36,7 +42,6 @@ class AFM(nn.Module):
         else:
             pooled = AFMAttention(self.attention_units, name="attention")(pairs)
         logit = nn.Dense(1, name="head")(pooled)
-        if self.use_linear:
-            logit = logit + LinearEmbedding(self.feature_columns,
-                                            name="linear")(batch)
+        if linear_logit is not None:
+            logit = logit + linear_logit
         return logit  # logits [B, 1]

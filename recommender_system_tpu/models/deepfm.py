@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..layers.core import DNN
-from ..layers.embedding import EmbeddingCollection, LinearEmbedding
+from ..layers.embedding import UnifiedEmbedding
 from ..ops.interactions import bi_interaction
 from ..utils.features import FeatureColumn
 
@@ -29,9 +29,8 @@ class DeepFM(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
-        linear = LinearEmbedding(self.feature_columns, name="linear")(batch)
-
-        emb = EmbeddingCollection(self.feature_columns, name="embeddings")(batch)
+        # fused first-order + factor lookup: one gather/scatter for both
+        emb, linear = UnifiedEmbedding(self.feature_columns, name="unified")(batch)
         fields = [v[:, None, :] for v in emb.sparse.values()]
         fields += [v[:, None, :] for v in emb.pooled.values()]
         stacked = jnp.concatenate(fields, axis=1)  # [B, F, k]

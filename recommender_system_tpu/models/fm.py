@@ -19,7 +19,7 @@ from typing import Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers.embedding import EmbeddingCollection, LinearEmbedding
+from ..layers.embedding import UnifiedEmbedding
 from ..ops.interactions import bi_interaction
 from ..utils.features import FeatureColumn, split_columns
 
@@ -31,9 +31,8 @@ class FM(nn.Module):
     @nn.compact
     def __call__(self, batch, train: bool = False):
         _, _, dense_cols = split_columns(self.feature_columns)
-        linear = LinearEmbedding(self.feature_columns, name="linear")(batch)
-
-        emb = EmbeddingCollection(self.feature_columns, name="embeddings")(batch)
+        # fused first-order + factor lookup: one gather/scatter for both
+        emb, linear = UnifiedEmbedding(self.feature_columns, name="unified")(batch)
         fields = [v[:, None, :] for v in emb.sparse.values()]
         fields += [v[:, None, :] for v in emb.pooled.values()]
         if emb.dense is not None:

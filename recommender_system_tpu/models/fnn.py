@@ -32,19 +32,29 @@ class FNN(nn.Module):
                    name="deep")(emb.concat_flat(), train=train)  # logits [B, 1]
 
 
-def init_from_fm(fnn_variables, fm_variables):
-    """Copy the FM's trained factor tables into a freshly-initialized FNN.
+def init_from_fm(fnn_variables, fm_variables, feature_columns):
+    """Copy the FM's trained factor vectors into a freshly-initialized FNN.
 
-    Both models name their fused tables ``embeddings/table_d{k}``, so the FM ->
-    FNN pretraining handoff (``model/fnn.py:51-54``) is a pytree param copy.
-    Returns new FNN variables.
+    The FM stores ``[v_1..v_d, w]`` rows in its unified d+1 stack
+    (``UnifiedEmbedding``); the FNN uses plain d-dim stacks. The pretraining
+    handoff (``model/fnn.py:51-54``) unpacks the FM stack, drops the linear
+    lane, and repacks into the FNN layout. Returns new FNN variables.
     """
     import flax
 
+    from ..layers.embedding import (build_table_specs, pack_stack,
+                                    unpack_stack)
+
     fnn = flax.core.unfreeze(fnn_variables)
-    fm_tables = fm_variables["params"]["embeddings"]
-    for key, val in fm_tables.items():
-        if key in fnn["params"]["embeddings"]:
-            assert fnn["params"]["embeddings"][key].shape == val.shape, key
-            fnn["params"]["embeddings"][key] = val
-    return flax.core.freeze(fnn) if isinstance(fnn_variables, flax.core.FrozenDict) else fnn
+    fm_tables = fm_variables["params"]["unified"]["embeddings"]
+    specs = build_table_specs(feature_columns)
+    for dim, group in specs.items():
+        total = sum(s.vocab for s in group.values())
+        src_key, dst_key = f"table_d{dim + 1}", f"table_d{dim}"
+        if src_key in fm_tables and dst_key in fnn["params"]["embeddings"]:
+            logical = unpack_stack(fm_tables[src_key], total, dim + 1)[:, :dim]
+            target_rows = fnn["params"]["embeddings"][dst_key].shape[0]
+            fnn["params"]["embeddings"][dst_key] = pack_stack(
+                logical, dim, rows=target_rows)
+    return (flax.core.freeze(fnn)
+            if isinstance(fnn_variables, flax.core.FrozenDict) else fnn)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..layers.core import DNN
-from ..layers.embedding import EmbeddingCollection, LinearEmbedding
+from ..layers.embedding import UnifiedEmbedding
 from ..utils.features import FeatureColumn
 
 
@@ -26,8 +26,8 @@ class WideDeep(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
-        wide = LinearEmbedding(self.feature_columns, name="wide")(batch)
-        emb = EmbeddingCollection(self.feature_columns, name="embeddings")(batch)
+        # wide (linear) weights live in an extra lane of the deep embeddings
+        emb, wide = UnifiedEmbedding(self.feature_columns, name="unified")(batch)
         deep = DNN(self.hidden_units, activation=self.activation,
                    dropout_rate=self.dropout_rate, output_dim=1,
                    name="deep")(emb.concat_flat(), train=train)

@@ -2,11 +2,12 @@
 
 Every hot op has a pure-jax reference implementation (ground truth for tests
 and the backward pass) and a fused Pallas TPU kernel. Dispatch policy is
-**measurement-driven** (TPU v5e, 2026-08-17, batch 8192 — see
-``ops/pallas_kernels.py`` docstring): for the FM / cross / DIN-attention
-interaction ops XLA's own fusion is already at the HBM-bandwidth roofline and
-beats the hand kernels (17.8 vs 23us FM; 20.6 vs 37.9us cross; 954 vs 2803us
-DIN), so the default is the XLA path and the Pallas kernels are opt-in
+**measurement-driven** (TPU v5e, 2026-08-17, batch 8192, fetch-forced
+differential timing per ``utils/benchmark.py`` — see ``ops/pallas_kernels.py``
+docstring): for the FM / cross / DIN-attention interaction ops XLA's own
+fusion beats the hand kernels (FM ~125-157us XLA vs ~170-365us Pallas; cross
+~404 vs ~587us; DIN ~461 vs ~2313us), so the default is the XLA path and the
+Pallas kernels are opt-in
 (``RST_FORCE_PALLAS=1`` or a per-module ``use_pallas=True``). Hand kernels pay
 off where XLA *cannot* fuse — the sharded embedding exchange and fused
 gather+pool paths — which dispatch unconditionally to their custom

@@ -19,14 +19,15 @@ the pure-jax reference (mathematically identical; residuals are the primal
 inputs). Gradcheck tests in ``tests/test_pallas.py`` compare both against
 numerical/autodiff ground truth; on CPU the kernels run in interpret mode.
 
-**Measured on TPU v5e (2026-08-17, batch 8192, fp32):** XLA's automatic fusion
-is at the bandwidth roofline for these small memory-bound ops and beats the
-hand kernels — FM 17.8us (XLA) vs 23.0us (best-tuned Pallas, tile 2048
-parallel); cross-stack L=6 D=256: 20.6 vs 37.9us; DIN attention T=50 K=32:
-954 vs 2803us. Dispatch therefore defaults to the XLA path
-(``dispatch.use_pallas``); these kernels stay as correct, tested, opt-in
-alternates and as the scaffold for the paths XLA cannot fuse (embedding-bag
-gather+pool, sparse optimizer scatter — ``parallel/``).
+**Measured on TPU v5e (2026-08-17, batch 8192, fp32, fetch-forced
+differential timing — ``utils/benchmark.py``):** XLA's automatic fusion beats
+these hand kernels on the small memory-bound interaction ops — FM [8192,256]
+k=16: ~125-157us (XLA) vs ~170-365us (Pallas); cross-stack L=6 D=256: ~404 vs
+~587us; DIN attention T=50 K=32: ~461 vs ~2313us. Dispatch therefore defaults
+to the XLA path (``dispatch.use_pallas``); these kernels stay as correct,
+tested, opt-in alternates. The embedding hot path is instead handled by the
+lane-packed storage layout (``layers/embedding.py``), which made XLA's own
+scatter 5.9x faster than the naive narrow layout.
 """
 from __future__ import annotations
 

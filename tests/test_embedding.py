@@ -6,7 +6,8 @@ import jax.numpy as jnp
 
 from recommender_system_tpu.layers.embedding import (EmbeddingCollection,
                                                      LinearEmbedding,
-                                                     build_table_specs)
+                                                     build_table_specs,
+                                                     unpack_stack)
 from recommender_system_tpu.utils.features import (DenseFeat, SparseFeat,
                                                    VarLenSparseFeat)
 
@@ -34,16 +35,17 @@ def test_shared_embedding_name_same_vectors():
     np.testing.assert_allclose(np.asarray(out.sparse["item_id"][0]),
                                np.asarray(out.varlen_raw["hist_item_id"][0, 0]),
                                rtol=1e-6)
-    # only one stacked table of dim 8 exists
+    # only one stacked table of dim 8 exists (lane-packed: 16 rows / 128 lanes)
     assert list(variables["params"].keys()) == ["table_d8"]
-    assert variables["params"]["table_d8"].shape == (50, 8)
+    assert np.asarray(
+        unpack_stack(variables["params"]["table_d8"], 50, 8)).shape == (50, 8)
 
 
 def test_stacking_is_equivalent_to_separate_tables():
     cols = [SparseFeat("a", 10, 4), SparseFeat("b", 20, 4)]
     batch = {"a": np.array([1, 2], np.int32), "b": np.array([5, 0], np.int32)}
     mod, variables = _make(cols, batch)
-    table = np.asarray(variables["params"]["table_d4"])
+    table = np.asarray(unpack_stack(variables["params"]["table_d4"], 30, 4))
     assert table.shape == (30, 4)
     out = mod.apply(variables, batch)
     np.testing.assert_allclose(np.asarray(out.sparse["a"]), table[[1, 2]],
@@ -62,7 +64,7 @@ def test_non_trainable_stops_gradient():
         return jnp.sum(out.sparse["a"] ** 2) + jnp.sum(out.sparse["b"] ** 2)
 
     g = jax.grad(loss)(variables["params"])
-    table_grad = np.asarray(g["table_d4"])
+    table_grad = np.asarray(unpack_stack(g["table_d4"], 20, 4))
     assert np.all(table_grad[1] == 0)       # 'a' row frozen
     assert np.any(table_grad[10 + 2] != 0)  # 'b' row trains
 
@@ -74,7 +76,7 @@ def test_varlen_pooling_modes():
         batch = {"h": np.array([[2, 5, 0]], np.int32)}
         mod, variables = _make(cols, batch)
         out = mod.apply(variables, batch)
-        table = np.asarray(variables["params"]["table_d4"])
+        table = np.asarray(unpack_stack(variables["params"]["table_d4"], 30, 4))
         valid = table[[2, 5]]
         if combiner == "sum":
             expected = valid.sum(0)
@@ -97,7 +99,7 @@ def test_varlen_explicit_length_and_weights():
     }
     mod, variables = _make(cols, batch)
     out = mod.apply(variables, batch)
-    table = np.asarray(variables["params"]["table_d4"])
+    table = np.asarray(unpack_stack(variables["params"]["table_d4"], 30, 4))
     expected = 0.5 * table[2] + 2.0 * table[5]  # pos 2 masked by length
     np.testing.assert_allclose(np.asarray(out.pooled["h"][0]), expected,
                                rtol=1e-4, atol=1e-5)
@@ -115,7 +117,8 @@ def test_hashed_feature_in_range_and_deterministic():
     # id 0 maps to padding row 0
     np.testing.assert_allclose(
         np.asarray(out1.sparse["c"][0]),
-        np.asarray(variables["params"]["table_d4"][0]), rtol=1e-6)
+        np.asarray(unpack_stack(variables["params"]["table_d4"], 16, 4)[0]),
+        rtol=1e-6)
     # same raw id -> same embedding
     np.testing.assert_allclose(np.asarray(out1.sparse["c"][1]),
                                np.asarray(out1.sparse["c"][4]), rtol=1e-6)
@@ -138,7 +141,7 @@ def test_linear_embedding_matches_onehot_linear():
     variables = mod.init(jax.random.PRNGKey(0), batch)
     out = np.asarray(mod.apply(variables, batch))
     p = variables["params"]
-    table = np.asarray(p["linear_tables"]["table_d1"])
+    table = np.asarray(unpack_stack(p["linear_tables"]["table_d1"], 5, 1))
     dw = np.asarray(p["dense_w"])
     b = np.asarray(p["bias"])
     expected = table[[2, 4]] + np.array([[0.5], [1.5]]) @ dw + b

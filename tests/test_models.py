@@ -99,17 +99,22 @@ def test_dien_trains_with_aux_loss(behavior):
 
 
 def test_fnn_two_stage_from_fm(criteo):
+    from recommender_system_tpu.layers.embedding import unpack_stack
+
     cols, X, y = criteo
     fm_tr, fm_state, _ = _fit(M.FM(tuple(cols)), X, y, epochs=1)
     fnn = M.FNN(tuple(cols), hidden_units=(32, 16))
     tr = Trainer(fnn)
     state = tr.init(next(iter_batches(X, y, 128))[0])
     new_vars = M.init_from_fm({"params": state.params},
-                              {"params": fm_state.params})
-    # FM's trained table was copied in
-    np.testing.assert_allclose(
-        np.asarray(new_vars["params"]["embeddings"]["table_d8"]),
-        np.asarray(fm_state.params["embeddings"]["table_d8"]))
+                              {"params": fm_state.params}, cols)
+    # FM's trained factor vectors (sans linear lane) were copied in
+    total = 26 * 60  # 26 features x vocab 60
+    got = np.asarray(unpack_stack(new_vars["params"]["embeddings"]["table_d8"],
+                                  total, 8))
+    want = np.asarray(unpack_stack(
+        fm_state.params["unified"]["embeddings"]["table_d9"], total, 9))[:, :8]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
 def test_mmoe_multitask(rng):

@@ -88,7 +88,7 @@ def test_trainer_with_mesh_matches_single_device(mesh):
     tr = Trainer(model, mesh=mesh)
     state = tr.init(next(iter_batches(X, y, 64))[0])
     # the fused table is actually sharded across devices
-    table = state.params["embeddings"]["table_d8"]
+    table = state.params["unified"]["embeddings"]["table_d9"]
     assert len(table.sharding.device_set) == 8
     state, hist = tr.fit(state, X, y, batch_size=64, epochs=2)
     assert hist["loss"][-1] < hist["loss"][0] + 1e-3

@@ -76,8 +76,8 @@ def test_checkpoint_roundtrip(tmp_path):
     path = save_checkpoint(str(tmp_path / "ckpt"), state)
     fresh = tr.init(next(iter_batches(X, y, 32))[0])
     restored = restore_checkpoint(str(tmp_path / "ckpt"), fresh)
-    a = np.asarray(state.params["embeddings"]["table_d8"])
-    b = np.asarray(restored.params["embeddings"]["table_d8"])
+    a = np.asarray(state.params["unified"]["embeddings"]["table_d9"])
+    b = np.asarray(restored.params["unified"]["embeddings"]["table_d9"])
     np.testing.assert_allclose(a, b)
     assert int(restored.step) == int(state.step)
 
