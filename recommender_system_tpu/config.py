@@ -1,0 +1,67 @@
+"""Experiment configuration: one dataclass instead of hardcoded literals.
+
+The reference hardcodes hyperparameters in each model file's ``__main__``
+(e.g. ``model/deepFM.py:35-41``, ``model/dcn.py:38-45``) and switches dataset
+behavior on a model-name string (``utils/dataset.py:36,47-58``). Here a single
+``ExperimentConfig`` names the model, dataset, optimizer, mesh, and model
+hyperparameters explicitly; ``recommender_system_tpu.train`` turns one into a
+full run (CLI: ``python -m recommender_system_tpu.train --model deepfm ...``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # model
+    model: str = "deepfm"           # key in models.CTR_MODELS, or dssm/mmoe
+    hidden_units: Tuple[int, ...] = (256, 128, 64)
+    embedding_dim: int = 8
+    model_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    # data
+    dataset: str = "criteo"         # criteo | movielens | synthetic | synthetic_behavior
+    data_path: Optional[str] = None
+    hash_buckets: Optional[int] = None
+    max_rows: Optional[int] = None
+    seq_len: int = 10
+
+    # training
+    batch_size: int = 256
+    epochs: int = 5
+    learning_rate: float = 1e-3
+    optimizer: str = "adam"         # adam | adagrad | sgd
+    weight_decay: float = 0.0
+    seed: int = 0
+
+    # parallelism (None = single device)
+    mesh_data: Optional[int] = None
+    mesh_model: int = 1
+
+    # persistence / observability
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False
+    profile_dir: Optional[str] = None
+    log_every: int = 0
+
+    def build_optimizer(self):
+        import optax
+
+        table = {
+            "adam": optax.adam,
+            "adagrad": optax.adagrad,
+            "sgd": optax.sgd,
+        }
+        if self.optimizer not in table:
+            raise ValueError(f"unknown optimizer {self.optimizer!r} "
+                             f"(choose from {sorted(table)})")
+        return table[self.optimizer](self.learning_rate)
+
+    def build_mesh(self):
+        if self.mesh_data is None:
+            return None
+        from .parallel.mesh import make_mesh
+
+        return make_mesh(data=self.mesh_data, model=self.mesh_model)

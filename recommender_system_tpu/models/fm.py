@@ -26,19 +26,20 @@ from ..utils.features import FeatureColumn, split_columns
 
 class FM(nn.Module):
     feature_columns: Tuple[FeatureColumn, ...]
-    factor_dim: int = 8
+    factor_dim: int = 0  # 0 -> use the sparse columns' embedding dim
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
-        _, _, dense_cols = split_columns(self.feature_columns)
+        sparse_cols, varlen_cols, dense_cols = split_columns(self.feature_columns)
         # fused first-order + factor lookup: one gather/scatter for both
         emb, linear = UnifiedEmbedding(self.feature_columns, name="unified")(batch)
         fields = [v[:, None, :] for v in emb.sparse.values()]
         fields += [v[:, None, :] for v in emb.pooled.values()]
         if emb.dense is not None:
+            k = self.factor_dim or (sparse_cols + varlen_cols)[0].embedding_dim
             d = emb.dense.shape[-1]
             dense_v = self.param("dense_factors", nn.initializers.normal(1e-4),
-                                 (d, self.factor_dim))
+                                 (d, k))
             fields.append(emb.dense[:, :, None] * dense_v[None, :, :])  # [B, D, k]
         stacked = jnp.concatenate(fields, axis=1)  # [B, F_total, k]
         second_order = jnp.sum(bi_interaction(stacked), axis=-1, keepdims=True)

@@ -1,0 +1,222 @@
+"""Unified training driver — the CLI the reference's 18 ``__main__`` blocks become.
+
+Usage (mirrors the per-model drivers, e.g. ``python model/deepFM.py`` ->):
+
+    python -m recommender_system_tpu.train --model deepfm --epochs 5
+    python -m recommender_system_tpu.train --model din --dataset movielens
+    python -m recommender_system_tpu.train --model dssm --dataset movielens
+    python -m recommender_system_tpu.train --model mmoe --dataset synthetic
+    python -m recommender_system_tpu.train --model fm --hash-buckets 100000
+
+Loads the dataset, builds the model from ``ExperimentConfig``, runs the jit
+train loop, and prints one JSON line of test metrics (real AUC/logloss —
+the reference printed accuracy mislabeled as AUC, ``model/deepFM.py:51``).
+Supports checkpoint/resume (orbax) and ``--profile-dir`` (jax.profiler trace).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .config import ExperimentConfig
+
+SEQUENCE_MODELS = {"din", "dien"}
+
+
+def build_data(config: ExperimentConfig):
+    """-> (columns, X_train, y_train, X_test, y_test)."""
+    from .utils import datasets as D
+
+    name = config.dataset
+    if name == "criteo":
+        try:
+            return D.load_criteo(path=config.data_path,
+                                 embedding_dim=config.embedding_dim,
+                                 hash_buckets=config.hash_buckets,
+                                 max_rows=config.max_rows)
+        except FileNotFoundError:
+            name = "synthetic"
+    if name == "movielens":
+        try:
+            ratings = D.load_movielens_ratings(config.data_path)
+            return D.build_behavior_dataset(ratings, seq_len=config.seq_len,
+                                            embedding_dim=config.embedding_dim)
+        except FileNotFoundError:
+            name = "synthetic_behavior"
+    if name == "synthetic_behavior" or (
+            name == "synthetic" and config.model in SEQUENCE_MODELS | {"dssm"}):
+        cols, X, y = D.synthetic_behavior(
+            n_rows=config.max_rows or 4096, seq_len=config.seq_len,
+            embedding_dim=config.embedding_dim, seed=config.seed)
+    elif name == "synthetic":
+        cols, X, y = D.synthetic_criteo(
+            n_rows=config.max_rows or 4096,
+            embedding_dim=config.embedding_dim, seed=config.seed)
+    else:
+        raise ValueError(f"unknown dataset {config.dataset!r}")
+    if config.model == "mmoe":
+        # second task (CTR+CVR-style): label correlated with dense feature sum
+        dense = np.concatenate(
+            [np.reshape(X[k], (len(y), -1)) for k in X
+             if X[k].dtype.kind == "f"] or [np.zeros((len(y), 1))], axis=1)
+        task2 = (dense.sum(1) > np.median(dense.sum(1))).astype(np.float32)
+        y = np.stack([y, task2], axis=1)
+    n_test = len(y) // 5
+    X_train = {k: v[:-n_test] for k, v in X.items()}
+    X_test = {k: v[-n_test:] for k, v in X.items()}
+    return cols, X_train, y[:-n_test], X_test, y[-n_test:]
+
+
+def build_model(config: ExperimentConfig, columns):
+    from . import models as M
+
+    kwargs = dict(config.model_kwargs)
+    name = config.model
+    if name == "mmoe":
+        return M.MMOE(feature_columns=tuple(columns),
+                      tower_hidden_units=tuple(config.hidden_units[-1:]),
+                      **kwargs)
+    if name == "dssm":
+        from .utils.features import SparseFeat, VarLenSparseFeat
+
+        user_cols = tuple(c for c in columns
+                          if c.name in ("user_id", "hist_item_id"))
+        item_cols = tuple(c for c in columns if c.name == "item_id")
+        return M.DSSM(user_cols, item_cols,
+                      user_hidden_units=tuple(config.hidden_units),
+                      item_hidden_units=tuple(config.hidden_units), **kwargs)
+    if name not in M.CTR_MODELS:
+        raise ValueError(f"unknown model {name!r} "
+                         f"(choose from {sorted(M.CTR_MODELS) + ['dssm', 'mmoe']})")
+    cls = M.CTR_MODELS[name]
+    if name in ("fm", "ffm", "afm"):
+        return cls(tuple(columns), **kwargs)
+    return cls(tuple(columns), hidden_units=tuple(config.hidden_units), **kwargs)
+
+
+def make_loss_fn(config: ExperimentConfig):
+    from .training import default_loss
+    from .training.losses import inbatch_softmax_loss
+
+    if config.model == "dssm":
+        def dssm_loss(outputs, labels, batch):
+            user_emb, item_emb = outputs
+            return inbatch_softmax_loss(user_emb, item_emb, batch["item_id"],
+                                        temperature=0.05)
+        return dssm_loss
+    return default_loss
+
+
+def run(config: ExperimentConfig) -> dict:
+    import jax
+
+    from .training import Trainer
+    from .training.checkpoint import (latest_step, restore_checkpoint,
+                                      save_checkpoint)
+    from .utils.datasets import iter_batches
+
+    columns, X_train, y_train, X_test, y_test = build_data(config)
+    model = build_model(config, columns)
+    trainer = Trainer(model, optimizer=config.build_optimizer(),
+                      loss_fn=make_loss_fn(config), seed=config.seed,
+                      weight_decay=config.weight_decay,
+                      mesh=config.build_mesh())
+    state = trainer.init(next(iter_batches(X_train, y_train,
+                                           min(config.batch_size,
+                                               len(y_train))))[0])
+    if config.resume and config.checkpoint_dir:
+        if latest_step(config.checkpoint_dir) is not None:
+            state = restore_checkpoint(config.checkpoint_dir, state)
+            # re-materialize through host: computations on orbax-restored
+            # buffers deadlock on the axon backend
+            state = jax.tree.map(
+                lambda x: jax.device_put(np.asarray(x)), state)
+
+    if config.profile_dir:
+        jax.profiler.start_trace(config.profile_dir)
+    state, history = trainer.fit(state, X_train, y_train,
+                                 batch_size=config.batch_size,
+                                 epochs=config.epochs,
+                                 log_every=config.log_every)
+    if config.profile_dir:
+        jax.profiler.stop_trace()
+
+    if config.checkpoint_dir:
+        save_checkpoint(config.checkpoint_dir, state)
+
+    result = {
+        "model": config.model,
+        "train_loss": history["loss"],
+        "examples_per_sec": round(float(np.mean(
+            history["examples_per_sec"])), 1),
+    }
+    if config.model == "dssm":
+        from .utils.metrics import recall_at_n
+
+        variables = {"params": state.params}
+        if len(state.batch_stats):
+            variables["batch_stats"] = state.batch_stats
+        user_emb = model.apply(variables, X_test, method=model.user_embedding)
+        item_ids = np.unique(X_test["item_id"])
+        item_emb = model.apply(variables, {"item_id": item_ids},
+                               method=model.item_embedding)
+        scores = np.asarray(user_emb) @ np.asarray(item_emb).T
+        top = item_ids[np.argsort(-scores, axis=1)[:, :10]]
+        result["recall@10"] = round(
+            recall_at_n(list(top), list(X_test["item_id"])), 4)
+    else:
+        metrics = trainer.evaluate(state, X_test, y_test)
+        result.update({k: round(v, 4) for k, v in metrics.items()})
+    return result
+
+
+def parse_args(argv=None) -> ExperimentConfig:
+    defaults = ExperimentConfig()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default=defaults.model)
+    p.add_argument("--dataset", default=defaults.dataset)
+    p.add_argument("--data-path", default=None)
+    p.add_argument("--embedding-dim", type=int, default=defaults.embedding_dim)
+    p.add_argument("--hash-buckets", type=int, default=None)
+    p.add_argument("--max-rows", type=int, default=None)
+    p.add_argument("--seq-len", type=int, default=defaults.seq_len)
+    p.add_argument("--hidden-units", type=int, nargs="+",
+                   default=list(defaults.hidden_units))
+    p.add_argument("--batch-size", type=int, default=defaults.batch_size)
+    p.add_argument("--epochs", type=int, default=defaults.epochs)
+    p.add_argument("--learning-rate", type=float,
+                   default=defaults.learning_rate)
+    p.add_argument("--optimizer", default=defaults.optimizer)
+    p.add_argument("--weight-decay", type=float, default=defaults.weight_decay)
+    p.add_argument("--seed", type=int, default=defaults.seed)
+    p.add_argument("--mesh-data", type=int, default=None)
+    p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile-dir", default=None)
+    p.add_argument("--log-every", type=int, default=0)
+    args = p.parse_args(argv)
+    return ExperimentConfig(
+        model=args.model, dataset=args.dataset, data_path=args.data_path,
+        embedding_dim=args.embedding_dim, hash_buckets=args.hash_buckets,
+        max_rows=args.max_rows, seq_len=args.seq_len,
+        hidden_units=tuple(args.hidden_units), batch_size=args.batch_size,
+        epochs=args.epochs, learning_rate=args.learning_rate,
+        optimizer=args.optimizer, weight_decay=args.weight_decay,
+        seed=args.seed, mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        profile_dir=args.profile_dir, log_every=args.log_every)
+
+
+def main(argv=None):
+    config = parse_args(argv)
+    result = run(config)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

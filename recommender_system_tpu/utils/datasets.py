@@ -36,49 +36,86 @@ def load_criteo(
     hash_buckets: Optional[int] = None,
     test_frac: float = 0.2,
     max_rows: Optional[int] = None,
+    engine: str = "auto",
 ) -> Tuple[list, Dict[str, np.ndarray], np.ndarray, Dict[str, np.ndarray], np.ndarray]:
     """Load the Criteo TSV sample into typed columns + train/test batches.
 
     Mirrors ``create_criteo_dataset``/``features_dict``
     (``/root/reference/algorithm/deep_learning/utils/dataset.py:30-75``):
-    fillna (0 for dense, missing token for sparse), MinMax-scale I1..I13,
-    integer-encode C1..C26 (LabelEncoder parity) or hash into ``hash_buckets``.
-    Vocab sizes are nunique+1 with id 0 reserved for unseen/missing.
+    fillna (0 for dense, missing -> padding id for sparse), MinMax-scale
+    I1..I13, integer-encode C1..C26 (LabelEncoder parity) or hash into
+    ``hash_buckets``. Vocab sizes are nunique+1 with id 0 reserved for
+    unseen/missing.
+
+    ``engine``: 'auto' uses the multithreaded C++ parser
+    (``recommender_system_tpu.native``, ~170x faster than pandas, identical
+    FNV-1a hashes) for the hashed path when available; 'pandas' forces the
+    python path (also used for LabelEncoder mode).
 
     The split is deterministic: last ``test_frac`` of rows.
 
     Returns (feature_columns, X_train, y_train, X_test, y_test).
     """
-    import pandas as pd
-
     if path is None:
         path = os.path.join(REFERENCE_DATA_DIR, "criteo", "train_1w.txt")
-    names = ["label"] + CRITEO_DENSE + CRITEO_SPARSE
-    df = pd.read_csv(path, sep="\t", header=None, names=names, nrows=max_rows)
 
-    df[CRITEO_DENSE] = df[CRITEO_DENSE].fillna(0.0).astype(np.float64)
-    # MinMax scale dense (parity: utils/dataset.py:44-46).
-    for c in CRITEO_DENSE:
-        lo, hi = df[c].min(), df[c].max()
-        df[c] = (df[c] - lo) / (hi - lo) if hi > lo else 0.0
-    df[CRITEO_SPARSE] = df[CRITEO_SPARSE].fillna("-1")
+    use_native = False
+    if hash_buckets is not None and engine in ("auto", "native"):
+        from .. import native
+
+        use_native = native.available()
+        if engine == "native" and not use_native:
+            raise RuntimeError(f"native parser unavailable: "
+                               f"{native.build_error()}")
 
     columns: list = [DenseFeat(c, 1) for c in CRITEO_DENSE]
-    X: Dict[str, np.ndarray] = {c: df[c].to_numpy(np.float32)[:, None] for c in CRITEO_DENSE}
+    X: Dict[str, np.ndarray] = {}
 
-    for c in CRITEO_SPARSE:
-        vals = df[c].astype(str).to_numpy()
-        if hash_buckets is not None:
-            ids = hash_strings_np(vals, hash_buckets, mask_zero=True)
-            vocab = hash_buckets
-        else:
-            uniq, inv = np.unique(vals, return_inverse=True)
-            ids = inv + 1  # 0 reserved for unseen (vocab = nunique+1, dataset.py:73)
-            vocab = len(uniq) + 1
-        columns.append(SparseFeat(c, vocab, embedding_dim))
-        X[c] = ids.astype(np.int32)
+    if use_native:
+        from ..native import parse_criteo_native
 
-    y = df["label"].to_numpy(np.float32)
+        y, dense, hashes = parse_criteo_native(path, max_rows=max_rows)
+        lo, hi = dense.min(axis=0), dense.max(axis=0)
+        span = np.where(hi > lo, hi - lo, 1.0)
+        dense = (dense - lo) / span
+        for i, c in enumerate(CRITEO_DENSE):
+            X[c] = dense[:, i:i + 1].astype(np.float32)
+        span_b = np.uint64(hash_buckets - 1)
+        bucketed = (hashes % span_b + np.uint64(1)).astype(np.int32)
+        bucketed = np.where(hashes == 0, 0, bucketed)  # missing -> padding id
+        for i, c in enumerate(CRITEO_SPARSE):
+            columns.append(SparseFeat(c, hash_buckets, embedding_dim))
+            X[c] = bucketed[:, i]
+    else:
+        import pandas as pd
+
+        names = ["label"] + CRITEO_DENSE + CRITEO_SPARSE
+        df = pd.read_csv(path, sep="\t", header=None, names=names,
+                         nrows=max_rows)
+        df[CRITEO_DENSE] = df[CRITEO_DENSE].fillna(0.0).astype(np.float64)
+        # MinMax scale dense (parity: utils/dataset.py:44-46).
+        for c in CRITEO_DENSE:
+            lo, hi = df[c].min(), df[c].max()
+            df[c] = (df[c] - lo) / (hi - lo) if hi > lo else 0.0
+        for c in CRITEO_DENSE:
+            X[c] = df[c].to_numpy(np.float32)[:, None]
+        for c in CRITEO_SPARSE:
+            raw = df[c]
+            if hash_buckets is not None:
+                vals = [None if (isinstance(v, float) and np.isnan(v))
+                        else str(v) for v in raw]
+                ids = hash_strings_np(vals, hash_buckets, mask_zero=True)
+                vocab = hash_buckets
+            else:
+                vals = raw.fillna("-1").astype(str).to_numpy()
+                uniq, inv = np.unique(vals, return_inverse=True)
+                ids = inv + 1  # 0 reserved for unseen (dataset.py:73)
+                vocab = len(uniq) + 1
+            columns.append(SparseFeat(c, vocab, embedding_dim))
+            X[c] = ids.astype(np.int32)
+        y = df["label"].to_numpy(np.float32)
+
+    y = np.asarray(y, np.float32)
     n = len(y)
     n_test = int(n * test_frac)
     tr = slice(0, n - n_test)

@@ -1,0 +1,54 @@
+"""CLI driver tests: config -> run() on small synthetic data (CPU)."""
+import numpy as np
+import pytest
+
+from recommender_system_tpu.config import ExperimentConfig
+from recommender_system_tpu.train import parse_args, run
+
+
+def _cfg(**kw):
+    base = dict(dataset="synthetic", max_rows=512, epochs=1, batch_size=128,
+                embedding_dim=4, hidden_units=(16, 8))
+    base.update(kw)
+    return ExperimentConfig(**base)
+
+
+def test_parse_args_round_trip():
+    cfg = parse_args(["--model", "dcn", "--epochs", "3", "--hidden-units",
+                      "64", "32", "--hash-buckets", "1000"])
+    assert cfg.model == "dcn" and cfg.epochs == 3
+    assert cfg.hidden_units == (64, 32) and cfg.hash_buckets == 1000
+
+
+def test_run_deepfm_synthetic():
+    result = run(_cfg(model="deepfm"))
+    assert np.isfinite(result["train_loss"][0])
+    assert 0.0 <= result["auc"] <= 1.0
+
+
+def test_run_din_synthetic_behavior():
+    result = run(_cfg(model="din", dataset="synthetic_behavior"))
+    assert np.isfinite(result["train_loss"][0])
+
+
+def test_run_mmoe_multitask():
+    result = run(_cfg(model="mmoe"))
+    assert "task0_auc" in result and "task1_auc" in result
+
+
+def test_run_dssm_recall():
+    result = run(_cfg(model="dssm", dataset="synthetic_behavior"))
+    assert "recall@10" in result
+
+
+def test_checkpoint_resume_continues(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    r1 = run(_cfg(model="fm", checkpoint_dir=ckpt))
+    r2 = run(_cfg(model="fm", checkpoint_dir=ckpt, resume=True))
+    # resumed run starts from trained params -> first-epoch loss lower
+    assert r2["train_loss"][0] < r1["train_loss"][0]
+
+
+def test_unknown_model_raises():
+    with pytest.raises(ValueError, match="unknown model"):
+        run(_cfg(model="nope"))
