@@ -32,6 +32,15 @@ def build_data(config: ExperimentConfig):
     from .utils import datasets as D
 
     name = config.dataset
+    if name == "synthetic_tokens" or config.model in ("lstm", "transformer"):
+        rng = np.random.default_rng(config.seed)
+        vocab = config.hash_buckets or 200
+        n = config.max_rows or 4096
+        T = max(config.seq_len, 8)
+        X = rng.integers(1, vocab, (n, T)).astype(np.int32)
+        y = (X % 7 == 1).any(1).astype(np.float32)  # token-presence signal
+        n_test = n // 5
+        return ([], X[:-n_test], y[:-n_test], X[-n_test:], y[-n_test:])
     if name == "criteo":
         try:
             return D.load_criteo(path=config.data_path,
@@ -43,8 +52,10 @@ def build_data(config: ExperimentConfig):
     if name == "movielens":
         try:
             ratings = D.load_movielens_ratings(config.data_path)
-            return D.build_behavior_dataset(ratings, seq_len=config.seq_len,
-                                            embedding_dim=config.embedding_dim)
+            return D.build_behavior_dataset(
+                ratings, seq_len=config.seq_len,
+                embedding_dim=config.embedding_dim,
+                negsample=(config.model == "dien"), seed=config.seed)
         except FileNotFoundError:
             name = "synthetic_behavior"
     if name == "synthetic_behavior" or (
@@ -52,6 +63,20 @@ def build_data(config: ExperimentConfig):
         cols, X, y = D.synthetic_behavior(
             n_rows=config.max_rows or 4096, seq_len=config.seq_len,
             embedding_dim=config.embedding_dim, seed=config.seed)
+        if config.model == "dien":
+            from .utils.features import SparseFeat, VarLenSparseFeat
+
+            rng = np.random.default_rng(config.seed)
+            n_items = next(c for c in cols
+                           if c.name == "item_id").vocabulary_size
+            neg = rng.integers(1, n_items,
+                               X["hist_item_id"].shape).astype(np.int32)
+            X["neg_hist_item_id"] = np.where(X["hist_item_id"] > 0, neg, 0)
+            cols = list(cols) + [VarLenSparseFeat(
+                SparseFeat("neg_hist_item_id", n_items, config.embedding_dim,
+                           embedding_name="item_id"),
+                maxlen=config.seq_len, combiner="mean",
+                length_name="hist_len")]
     elif name == "synthetic":
         cols, X, y = D.synthetic_criteo(
             n_rows=config.max_rows or 4096,
@@ -89,10 +114,21 @@ def build_model(config: ExperimentConfig, columns):
         return M.DSSM(user_cols, item_cols,
                       user_hidden_units=tuple(config.hidden_units),
                       item_hidden_units=tuple(config.hidden_units), **kwargs)
+    if name == "lstm":
+        return M.LSTMClassifier(vocab_size=config.hash_buckets or 200,
+                                embed_dim=config.embedding_dim * 4,
+                                hidden=config.hidden_units[-1], **kwargs)
+    if name == "transformer":
+        return M.TransformerClassifier(
+            vocab_size=config.hash_buckets or 200, model_dim=32, num_heads=4,
+            num_layers=1, ffn_dim=64, max_len=max(config.seq_len, 8), **kwargs)
     if name not in M.CTR_MODELS:
-        raise ValueError(f"unknown model {name!r} "
-                         f"(choose from {sorted(M.CTR_MODELS) + ['dssm', 'mmoe']})")
+        raise ValueError(
+            f"unknown model {name!r} (choose from "
+            f"{sorted(M.CTR_MODELS) + ['dssm', 'mmoe', 'lstm', 'transformer']})")
     cls = M.CTR_MODELS[name]
+    if name == "dien":
+        kwargs.setdefault("use_negsampling", True)
     if name in ("fm", "ffm", "afm"):
         return cls(tuple(columns), **kwargs)
     return cls(tuple(columns), hidden_units=tuple(config.hidden_units), **kwargs)

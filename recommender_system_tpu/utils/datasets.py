@@ -147,6 +147,8 @@ def build_behavior_dataset(
     embedding_dim: int = 8,
     like_threshold: int = 3,
     test_frac: float = 0.2,
+    negsample: bool = False,
+    seed: int = 0,
 ) -> Tuple[list, Dict[str, np.ndarray], np.ndarray, Dict[str, np.ndarray], np.ndarray]:
     """Behavior-sequence CTR dataset for DIN/DIEN.
 
@@ -198,6 +200,17 @@ def build_behavior_dataset(
         "hist_item_id": np.stack(hists).astype(np.int32),
         "hist_len": np.asarray(hist_lens, np.int32),
     }
+    if negsample:
+        # per-position uniform negatives for DIEN's auxiliary loss
+        # (capability of get_xy_fd(use_neg=True), model/dien.py:196-199)
+        rng = np.random.default_rng(seed)
+        neg = rng.integers(1, n_items, X["hist_item_id"].shape).astype(np.int32)
+        neg = np.where(X["hist_item_id"] > 0, neg, 0)
+        X["neg_hist_item_id"] = neg
+        columns.append(VarLenSparseFeat(
+            SparseFeat("neg_hist_item_id", n_items, embedding_dim,
+                       embedding_name="item_id"),
+            maxlen=seq_len, combiner="mean", length_name="hist_len"))
     y = np.asarray(labels, np.float32)
     n = len(y)
     n_test = int(n * test_frac)
