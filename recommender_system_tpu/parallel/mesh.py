@@ -65,12 +65,32 @@ def is_embedding_table_path(path) -> bool:
     return False
 
 
+def is_expert_path(path) -> bool:
+    """True for MMoE expert tensors ([D, H, E] — EP shards the expert axis)."""
+    key = getattr(path[-1], "key", None) if path else None
+    return isinstance(key, str) and key in ("experts", "expert_bias")
+
+
+def expert_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Expert parallelism: last (expert) axis split over 'model'."""
+    spec = [None] * (ndim - 1) + [MODEL_AXIS]
+    return NamedSharding(mesh, P(*spec))
+
+
+def _rule(path, leaf, mesh: Mesh):
+    if is_embedding_table_path(path) and getattr(leaf, "ndim", 0) == 2:
+        return table_sharding(mesh)
+    if (is_expert_path(path) and getattr(leaf, "ndim", 0) >= 2
+            and mesh.shape[MODEL_AXIS] > 1):
+        return expert_sharding(mesh, leaf.ndim)
+    return replicated(mesh)
+
+
 def param_shardings(params, mesh: Mesh):
-    """NamedSharding pytree: table stacks row-sharded, everything else replicated."""
+    """NamedSharding pytree: table stacks row-sharded, MMoE experts
+    expert-sharded over 'model', everything else replicated."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: table_sharding(mesh)
-        if is_embedding_table_path(path) else replicated(mesh),
-        params)
+        lambda path, leaf: _rule(path, leaf, mesh), params)
 
 
 def shard_batch(batch, mesh: Mesh):
@@ -87,7 +107,4 @@ def shard_state(state, mesh: Mesh):
 def state_shardings(state, mesh: Mesh):
     """Sharding pytree matching a TrainState (opt_state mirrors params rules)."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: table_sharding(mesh)
-        if (is_embedding_table_path(path)
-            and getattr(leaf, "ndim", 0) == 2) else replicated(mesh),
-        state)
+        lambda path, leaf: _rule(path, leaf, mesh), state)

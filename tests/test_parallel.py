@@ -99,3 +99,22 @@ def test_trainer_with_mesh_matches_single_device(mesh):
     state1, hist1 = tr1.fit(state1, X, y, batch_size=64, epochs=2)
     np.testing.assert_allclose(hist["loss"], hist1["loss"], rtol=2e-3,
                                atol=2e-3)
+
+
+def test_mmoe_expert_parallel(mesh, rng):
+    """MMOE experts shard over the 'model' axis (EP) and training works."""
+    from recommender_system_tpu.models import MMOE
+    from recommender_system_tpu.training import Trainer
+
+    X = rng.random((256, 16)).astype(np.float32)
+    y = np.stack([(X.sum(1) > 8).astype(np.float32),
+                  (X[:, 0] > 0.5).astype(np.float32)], 1)
+    model = MMOE(num_tasks=2, num_experts=4, expert_units=16,
+                 tower_hidden_units=(8,))
+    tr = Trainer(model, mesh=mesh)
+    state = tr.init(X[:64])
+    experts = state.params["mmoe"]["experts"]
+    # expert axis (last) split over the 2-way 'model' axis
+    assert experts.sharding.spec[-1] == "model"
+    state, hist = tr.fit(state, X, y, batch_size=64, epochs=2)
+    assert hist["loss"][-1] < hist["loss"][0] + 1e-3
