@@ -182,7 +182,10 @@ class EmbeddingCollection(nn.Module):
 
     def _resolve_ids(self, fc, ids: jax.Array) -> jax.Array:
         spec = self._specs[fc.embedding_dim][fc.embedding_name]
-        if fc.use_hash:
+        # an explicit vocabulary file (applied host-side by utils.vocab) takes
+        # precedence over hashing — reference Hash semantics, layer/utils.py:48-64
+        base = fc.sparsefeat if hasattr(fc, "sparsefeat") else fc
+        if fc.use_hash and not getattr(base, "vocabulary_path", None):
             ids = hash_ids(ids, spec.vocab, mask_zero=True)
         ids = jnp.clip(ids, 0, spec.vocab - 1)
         return ids + spec.offset

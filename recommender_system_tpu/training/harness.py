@@ -190,9 +190,14 @@ class Trainer:
                 if log_every and len(losses) % log_every == 0:
                     print(f"epoch {epoch} step {len(losses)} "
                           f"loss {float(loss):.4f}")
-            jax.block_until_ready(state.params)
+            # force real completion inside the timed region: block_until_ready
+            # does not wait through the axon tunnel (see utils/benchmark.py);
+            # fetching the LAST loss forces all prior steps (in-order device)
+            if losses:
+                float(losses[-1])
             dt = time.perf_counter() - t0
-            epoch_loss = float(np.mean([float(l) for l in losses]))
+            epoch_loss = (float(jnp.mean(jnp.asarray(losses)))
+                          if losses else 0.0)
             history["loss"].append(epoch_loss)
             history["examples_per_sec"].append(n_examples / dt)
         return state, history

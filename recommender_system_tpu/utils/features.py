@@ -48,6 +48,10 @@ class SparseFeat:
     group_name: str = DEFAULT_GROUP_NAME
     trainable: bool = True
     init_std: float = 1e-4
+    # optional explicit token->id vocabulary file (reference Hash layer's
+    # vocabulary_path StaticHashTable, layer/utils.py:57-64); applied host-side
+    # by utils.vocab.encode_with_vocab during batch construction.
+    vocabulary_path: Optional[str] = None
 
     def __post_init__(self):
         if self.embedding_dim == "auto":

@@ -99,3 +99,74 @@ def test_feature_names_include_aux():
     cols = [VarLenSparseFeat(SparseFeat("h", 10, 4), maxlen=3,
                              length_name="h_len", weight_name="h_w")]
     assert get_feature_names(cols) == ["h", "h_w", "h_len"]
+
+
+def test_vocab_file_encoding(tmp_path):
+    from recommender_system_tpu.utils.vocab import (encode_batch,
+                                                    encode_feature,
+                                                    encode_with_vocab,
+                                                    load_vocab_file)
+
+    p = tmp_path / "vocab.csv"
+    p.write_text("apple,1\nbanana,2\ncherry,3\n")
+    vocab = load_vocab_file(str(p))
+    assert vocab == {"apple": 1, "banana": 2, "cherry": 3}
+    ids = encode_with_vocab(["banana", "unknown", None, "apple"], vocab)
+    np.testing.assert_array_equal(ids, [2, 0, 0, 1])
+
+    fc = SparseFeat("fruit", 10, 4, vocabulary_path=str(p))
+    np.testing.assert_array_equal(
+        encode_feature(fc, ["cherry", "nope"]), [3, 0])
+
+    # generators are accepted
+    np.testing.assert_array_equal(
+        encode_with_vocab((t for t in ["apple", "x"]), vocab), [1, 0])
+
+    # varlen wrapper reaches through to the inner vocabulary_path (2-D values)
+    vfc = VarLenSparseFeat(SparseFeat("hist", 10, 4,
+                                      vocabulary_path=str(p)), maxlen=2)
+    np.testing.assert_array_equal(
+        encode_feature(vfc, [["apple", "cherry"], ["nope", "banana"]]),
+        [[1, 3], [0, 2]])
+
+    # batch helper: vocab for sparse, float pass-through for dense
+    from recommender_system_tpu.utils.features import DenseFeat
+    batch = encode_batch([fc, DenseFeat("d", 1)],
+                         {"fruit": ["apple"], "d": [[0.5]]})
+    np.testing.assert_array_equal(batch["fruit"], [1])
+    assert batch["d"].dtype == np.float32
+
+
+def test_vocab_file_validation(tmp_path):
+    from recommender_system_tpu.utils.vocab import (encode_feature,
+                                                    load_vocab_file)
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text("apple,1\nbroken-line\n")
+    with pytest.raises(ValueError, match="bad.csv:2"):
+        load_vocab_file(str(bad))
+
+    big = tmp_path / "big.csv"
+    big.write_text("rare,10\n")
+    fc = SparseFeat("f", 10, 4, vocabulary_path=str(big))
+    with pytest.raises(ValueError, match="vocabulary_size"):
+        encode_feature(fc, ["rare"])
+
+
+def test_vocab_precedence_over_hash(tmp_path):
+    """vocabulary_path + use_hash: the explicit mapping wins; ids are NOT
+    re-hashed on device (reference Hash semantics, layer/utils.py:48-64)."""
+    import jax
+    from recommender_system_tpu.layers.embedding import (EmbeddingCollection,
+                                                         unpack_stack)
+
+    p = tmp_path / "v.csv"
+    p.write_text("a,1\nb,2\n")
+    fc = SparseFeat("f", 16, 4, use_hash=True, vocabulary_path=str(p))
+    batch = {"f": np.array([1, 2], np.int32)}  # already vocab-encoded
+    mod = EmbeddingCollection((fc,))
+    variables = mod.init(jax.random.PRNGKey(0), batch)
+    out = mod.apply(variables, batch)
+    table = np.asarray(unpack_stack(variables["params"]["table_d4"], 16, 4))
+    np.testing.assert_allclose(np.asarray(out.sparse["f"]), table[[1, 2]],
+                               rtol=1e-6)
