@@ -118,6 +118,34 @@ def packed_take(stack: jax.Array, rows: jax.Array, dim: int) -> jax.Array:
     return jnp.einsum("np,npd->nd", sel.astype(stack.dtype), wide)
 
 
+def _stack_initializer(table_ranges, dim: int):
+    """Per-table init std inside one shared stack: draws unit normals for the
+    whole (lane-packed) stack and scales each table's logical row range by its
+    own ``init_std`` (tables with different stds share a stack; taking one
+    global std would silently override the per-column setting)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        import numpy as np
+
+        base = jax.random.normal(key, shape, dtype)
+        P = pack_factor(dim)
+        logical_rows = shape[0] * P if P > 1 else shape[0]
+        std_per_row = np.zeros((logical_rows,), np.float32)
+        for offset, vocab, std in table_ranges:
+            std_per_row[offset: offset + vocab] = std
+        if P > 1:
+            # expand to lane space: logical row r -> packed row r//P, lanes
+            # [(r%P)*dim, (r%P+1)*dim); unused tail lanes get std 0
+            std_cols = np.zeros((shape[0], shape[1]), np.float32)
+            packed = np.zeros((shape[0] * P, dim), np.float32)
+            packed[:logical_rows] = std_per_row[:, None]
+            std_cols[:, : P * dim] = packed.reshape(shape[0], P * dim)
+            return base * jnp.asarray(std_cols)
+        return base * jnp.asarray(std_per_row[:, None])
+
+    return init
+
+
 def unpack_stack(stack: jax.Array, total_rows: int, dim: int) -> jax.Array:
     """Lane-packed ``[ceil(V/P), 128]`` -> logical ``[total_rows, dim]`` view
     (for tests/inspection/export)."""
@@ -164,7 +192,6 @@ class EmbeddingCollection(nn.Module):
         stacks = {}
         for dim, group in self._specs.items():
             total = sum(s.vocab for s in group.values())
-            std = max(s.init_std for s in group.values())
             P = pack_factor(dim)
             # round rows up to a multiple of 64 so the stack row-shards
             # cleanly across any mesh up to 64 devices
@@ -175,7 +202,9 @@ class EmbeddingCollection(nn.Module):
                 shape = (-(-total // 64) * 64, dim)
             stacks[dim] = self.param(
                 f"table_d{dim}",
-                nn.initializers.normal(stddev=std),
+                _stack_initializer(tuple(
+                    (s.offset, s.vocab, s.init_std) for s in group.values()),
+                    dim),
                 shape,
             )
         self._stacks = stacks

@@ -52,6 +52,10 @@ class DIEN(nn.Module):
     gru_hidden: int = 0  # 0 -> use behavior embedding width
     att_hidden_units: Sequence[int] = (80, 40)
     att_activation: str = "sigmoid"
+    # masked-softmax normalize attention scores before AUGRU (parity with the
+    # reference model-level default, model/dien.py:86; keeps scores in [0,1]
+    # so the attention-scaled update u = att*(1-z) stays a convex blend)
+    att_weight_normalization: bool = True
     hidden_units: Sequence[int] = (256, 128, 64)
     activation: str = "relu"
     dropout_rate: float = 0.0
@@ -71,10 +75,22 @@ class DIEN(nn.Module):
         # 1. interest extraction
         states, _ = GRULayer(hidden, name="interest_gru")(keys, mask=mask)
 
+        # attention queries score against the GRU states; project the target
+        # embedding to the state width when a custom gru_hidden differs
+        att_query = query
+        if hidden != keys.shape[-1]:
+            att_query = nn.Dense(hidden, name="query_proj")(query)
+
         # 2. auxiliary loss on shifted positives/negatives (model/dien.py:38-51)
         aux_loss = jnp.float32(0.0)
         neg_names = [f"neg_hist_{n}" for n in self.behavior_feature_list]
-        if self.use_negsampling and all(n in emb.varlen_raw for n in neg_names):
+        if self.use_negsampling and not all(
+                n in emb.varlen_raw for n in neg_names):
+            raise ValueError(
+                f"use_negsampling=True but batch/columns lack {neg_names}; "
+                f"provide neg_hist_* varlen columns (e.g. "
+                f"build_behavior_dataset(negsample=True)) or disable it")
+        if self.use_negsampling:
             neg_keys = jnp.concatenate(
                 [emb.varlen_raw[n] for n in neg_names], axis=-1)
             aux_net = AuxiliaryNet(name="aux_net")
@@ -90,8 +106,9 @@ class DIEN(nn.Module):
         # 3. attention scores over interest states
         att_scores = DinAttention(
             hidden_units=self.att_hidden_units, activation=self.att_activation,
-            weight_normalization=False, return_score=True,
-            name="attention")(query, states, mask, train=train)  # [B, T]
+            weight_normalization=self.att_weight_normalization,
+            return_score=True,
+            name="attention")(att_query, states, mask, train=train)  # [B, T]
 
         # 4. interest evolution
         _, final_state = AUGRULayer(hidden, name="augru")(

@@ -73,7 +73,9 @@ def gru(
     """
     B, T, _ = inputs.shape
     H = params.wh.shape[0]
-    h0 = jnp.zeros((B, H), inputs.dtype) if h0 is None else h0
+    # carries/outputs are f32 regardless of input dtype (the gate matmuls
+    # accumulate in f32; a bf16 carry would change dtype across scan steps)
+    h0 = jnp.zeros((B, H), jnp.float32) if h0 is None else h0.astype(jnp.float32)
 
     def step(h, xs):
         x_t, m_t = xs
@@ -104,7 +106,7 @@ def augru(
     """
     B, T, _ = inputs.shape
     H = params.wh.shape[0]
-    h0 = jnp.zeros((B, H), inputs.dtype) if h0 is None else h0
+    h0 = jnp.zeros((B, H), jnp.float32) if h0 is None else h0.astype(jnp.float32)
 
     def step(h, xs):
         x_t, a_t, m_t = xs
@@ -155,8 +157,8 @@ def lstm(
     """
     B, T, _ = inputs.shape
     H = params.wh.shape[0]
-    h0 = jnp.zeros((B, H), inputs.dtype)
-    c0 = jnp.zeros((B, H), inputs.dtype)
+    h0 = jnp.zeros((B, H), jnp.float32)
+    c0 = jnp.zeros((B, H), jnp.float32)
 
     def step(carry, xs):
         h, c = carry

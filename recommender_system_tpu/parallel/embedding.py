@@ -60,9 +60,11 @@ def alltoall_lookup(table_shard: jax.Array, ids: jax.Array, axis_name: str,
     """Per-shard body (call under ``shard_map``): embed ``ids [B]`` from a
     mod-sharded table (this shard holds ``table_shard [rows_per, d]``).
 
-    Returns ``[B, d]``. Ids overflowing a destination bucket resolve to the
-    padding row (row 0 of shard 0) — with hashed ids and ``capacity_factor >= 2``
-    this is vanishingly rare; raise it (up to ``n``) for exactness.
+    Returns ``[B, d]``. Ids overflowing a destination's capacity resolve to
+    **zero vectors** (and their gradients are dropped) — with hashed ids and
+    ``capacity_factor >= 2`` this is vanishingly rare; raise it (up to ``n``)
+    for exactness. Zero (rather than some trained row) keeps overflow from
+    aliasing onto a real embedding.
     """
     n = jax.lax.axis_size(axis_name)
     B = ids.shape[0]
@@ -116,15 +118,15 @@ def sharded_lookup(table_sharded: jax.Array, ids: jax.Array, mesh: Mesh,
     return fn(table_sharded, ids)
 
 
+@jax.jit
+def _take_rows(t, i):
+    return jnp.take(t, i, axis=0)
+
+
 def gspmd_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh) -> jax.Array:
     """GSPMD baseline: row-sharded table + data-sharded ids, plain ``take`` —
     the SPMD partitioner inserts the gather collectives automatically."""
     axes = mesh.axis_names
     table = jax.device_put(table, NamedSharding(mesh, P(axes, None)))
     ids = jax.device_put(ids, NamedSharding(mesh, P(axes)))
-
-    @jax.jit
-    def run(t, i):
-        return jnp.take(t, i, axis=0)
-
-    return run(table, ids)
+    return _take_rows(table, ids)

@@ -139,10 +139,12 @@ def make_loss_fn(config: ExperimentConfig):
     from .training.losses import inbatch_softmax_loss
 
     if config.model == "dssm":
+        temperature = config.model_kwargs.get("temperature", 0.05)
+
         def dssm_loss(outputs, labels, batch):
             user_emb, item_emb = outputs
             return inbatch_softmax_loss(user_emb, item_emb, batch["item_id"],
-                                        temperature=0.05)
+                                        temperature=temperature)
         return dssm_loss
     return default_loss
 

@@ -49,6 +49,10 @@ def default_loss(outputs, labels, batch=None):
         return bce_with_logits(logits, labels) + aux
     if isinstance(outputs, list):
         labels = jnp.asarray(labels)
+        if labels.ndim != 2 or labels.shape[-1] != len(outputs):
+            raise ValueError(
+                f"multi-task model with {len(outputs)} outputs needs labels "
+                f"of shape [B, {len(outputs)}], got {labels.shape}")
         total = 0.0
         for t, logit in enumerate(outputs):
             total = total + bce_with_logits(logit, labels[..., t])
