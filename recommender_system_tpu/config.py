@@ -36,6 +36,10 @@ class ExperimentConfig:
     weight_decay: float = 0.0
     seed: int = 0
 
+    # dssm retrieval loss: 'inbatch' (sampled softmax w/ log-Q) or 'logistic'
+    # (inner-product BCE vs labels — reference loss_type, model/dssm.py:73-78)
+    dssm_loss: str = "inbatch"
+
     # parallelism (None = single device)
     mesh_data: Optional[int] = None
     mesh_model: int = 1

@@ -141,10 +141,23 @@ def make_loss_fn(config: ExperimentConfig):
     if config.model == "dssm":
         temperature = config.model_kwargs.get("temperature", 0.05)
 
-        def dssm_loss(outputs, labels, batch):
-            user_emb, item_emb = outputs
-            return inbatch_softmax_loss(user_emb, item_emb, batch["item_id"],
-                                        temperature=temperature)
+        if config.dssm_loss == "logistic":
+            import jax.numpy as jnp
+
+            from .training.losses import bce_with_logits
+
+            def dssm_loss(outputs, labels, batch):
+                # inner-product logit vs click label (reference loss_type
+                # 'logistic', model/dssm.py:73-78)
+                user_emb, item_emb = outputs
+                logits = jnp.sum(user_emb * item_emb, axis=-1) / temperature
+                return bce_with_logits(logits, labels)
+        else:
+            def dssm_loss(outputs, labels, batch):
+                user_emb, item_emb = outputs
+                return inbatch_softmax_loss(user_emb, item_emb,
+                                            batch["item_id"],
+                                            temperature=temperature)
         return dssm_loss
     return default_loss
 
@@ -233,6 +246,8 @@ def parse_args(argv=None) -> ExperimentConfig:
     p.add_argument("--seed", type=int, default=defaults.seed)
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--dssm-loss", default=defaults.dssm_loss,
+                   choices=["inbatch", "logistic"])
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile-dir", default=None)
@@ -245,7 +260,8 @@ def parse_args(argv=None) -> ExperimentConfig:
         hidden_units=tuple(args.hidden_units), batch_size=args.batch_size,
         epochs=args.epochs, learning_rate=args.learning_rate,
         optimizer=args.optimizer, weight_decay=args.weight_decay,
-        seed=args.seed, mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+        seed=args.seed, dssm_loss=args.dssm_loss,
+        mesh_data=args.mesh_data, mesh_model=args.mesh_model,
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         profile_dir=args.profile_dir, log_every=args.log_every)
 

@@ -222,8 +222,13 @@ class Trainer:
             preds = 1.0 / (1.0 + np.exp(-preds))
         return preds
 
-    def evaluate(self, state: TrainState, X, y,
-                 batch_size: int = 1024) -> Dict[str, float]:
+    def evaluate(self, state: TrainState, X, y, batch_size: int = 1024,
+                 streaming: bool = False) -> Dict[str, float]:
+        """Test metrics. ``streaming=True`` accumulates histogram AUC +
+        logloss/accuracy per batch (O(bins) memory — for eval sets too large
+        to hold all scores; exact AUC otherwise)."""
+        if streaming:
+            return self._evaluate_streaming(state, X, y, batch_size)
         probs = self.predict(state, X, batch_size)
         flat = probs[:, 0] if probs.ndim > 1 and probs.shape[1] == 1 else probs
         if flat.ndim == 1:
@@ -239,3 +244,24 @@ class Trainer:
             out[f"task{t}_auc"] = metrics_lib.auc(y[..., t], flat[:, t])
             out[f"task{t}_logloss"] = metrics_lib.logloss(y[..., t], flat[:, t])
         return out
+
+    def _evaluate_streaming(self, state, X, y, batch_size):
+        if self._eval_step is None:
+            self._eval_step = self._make_eval_step()
+        stream = metrics_lib.StreamingAUC()
+        ll_sum = 0.0
+        correct = 0
+        n = 0
+        for xb, yb in iter_batches(X, y, batch_size, shuffle=False,
+                                   drop_remainder=False):
+            xb = self._place_batch(xb)
+            logits = np.asarray(
+                self._eval_step(state.params, state.batch_stats, xb)).ravel()
+            probs = 1.0 / (1.0 + np.exp(-logits))
+            stream.update(yb, probs)
+            p = np.clip(probs, 1e-7, 1 - 1e-7)
+            ll_sum += float(-(yb * np.log(p) + (1 - yb) * np.log(1 - p)).sum())
+            correct += int(((probs >= 0.5) == (yb > 0.5)).sum())
+            n += len(yb)
+        return {"auc": stream.result(), "logloss": ll_sum / max(n, 1),
+                "accuracy": correct / max(n, 1)}
