@@ -109,7 +109,12 @@ def packed_take(stack: jax.Array, rows: jax.Array, dim: int) -> jax.Array:
     narrow (XLA's scatter loop pays the (8,128)-tile padding per index, so
     narrow rows waste 16x; packed rows don't).
     """
+    from ..ops import dispatch
+    from ..ops.embedding_grad import packed_take_fast
+
     P = pack_factor(dim)
+    if dispatch.fast_scatter():
+        return packed_take_fast(stack, rows, P, dim)
     if P == 1:
         return jnp.take(stack, rows, axis=0)
     wide = jnp.take(stack, rows // P, axis=0)          # [N, 128]

@@ -44,3 +44,31 @@ def use_pallas(override: Optional[bool] = None) -> bool:
 def interpret_mode() -> bool:
     """Pallas interpret=True when not on real TPU (CPU tests)."""
     return not on_tpu()
+
+
+# --- fast embedding backward (work-queue scatter kernel) -------------------
+# The kernel is a pallas_call, which GSPMD treats as opaque: under a mesh the
+# row-sharded stacks would be all-gathered around it. The Trainer/parallel
+# helpers flip mesh mode so sharded runs keep XLA's partitionable scatter,
+# while single-device TPU runs get the kernel. Trace-time global (models are
+# traced under jit once per Trainer).
+_mesh_mode = False
+
+
+def set_mesh_mode(active: bool) -> None:
+    global _mesh_mode
+    _mesh_mode = bool(active)
+
+
+def mesh_mode() -> bool:
+    return _mesh_mode
+
+
+def fast_scatter(override: Optional[bool] = None) -> bool:
+    """Use the Pallas work-queue scatter as the embedding-lookup backward."""
+    if override is not None:
+        return override
+    env = os.environ.get("RST_FAST_SCATTER")
+    if env is not None:
+        return env == "1"
+    return on_tpu() and not _mesh_mode

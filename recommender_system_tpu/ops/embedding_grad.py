@@ -1,27 +1,42 @@
-"""Fast embedding gradient: scatter-add as sorted one-hot matmuls (Pallas).
+"""Fast embedding gradient: sorted work-queue scatter-add on the MXU (Pallas).
 
-THE hot path of CTR training on TPU. XLA lowers ``table.at[ids].add(grads)``
-to a sequential per-index loop — measured 18.9ms for 213k rows into a
-[2.6M, 8] table on v5e (~89ns/row), which dominated the whole DeepFM train
-step (17.9ms). This module replaces it:
+THE hot path of CTR training on TPU. The embedding backward is
+``zeros((V, 128)).at[wide_ids].add(lane_shifted_cotangents)`` — XLA lowers it
+to a sequential per-index update loop (measured 2.3ms for 213k updates into a
+[186k, 128] lane-packed stack on v5e, 3.2ms including the lane-shift einsum),
+which dominates the DeepFM train step. This module replaces it with a
+work-queue kernel:
 
-1. (XLA) argsort the ids, gather the grads into sorted order (~1.3ms),
-2. (XLA) ``searchsorted`` the per-table-tile boundaries — each tile of
-   ``tile_rows`` rows owns a *contiguous* range of the sorted updates,
-3. (Pallas) grid over table tiles; each tile streams its update range from
-   HBM in chunks, builds a ``[tile_rows, chunk]`` one-hot in VMEM and
-   accumulates ``onehot @ grads_chunk`` on the **MXU** — scatter becomes
-   matmul, fully vectorized, race-free by construction (disjoint tiles).
+1. (XLA) sort the ids, gather the cotangents into sorted order, lane-shift
+   them to their packed positions ([N, d] -> [N, 128]),
+2. (XLA) build a static-length work queue of (table_subtile, chunk) pairs:
+   each subtile of ``tile_rows`` output rows owns a *contiguous* range of the
+   sorted update stream (``searchsorted``), split into chunk-aligned slices,
+3. (Pallas) grid over work items; the scalar-prefetched queue drives the
+   BlockSpec index maps, so Pallas's own pipeline machinery streams the
+   (ids, grads) chunks and keeps the output subtile resident in VMEM across
+   revisits (the matmul-k-loop pattern). Each step accumulates
+   ``onehot(ids) @ grads_chunk`` on the **MXU** — scatter becomes matmul,
+   race-free because the TPU grid is sequential.
 
-The result is the dense cotangent for the table (zeros + scattered adds),
-exactly ``jnp.zeros((V, d)).at[ids].add(grads)``. ``sparse_lookup`` wraps
-``jnp.take`` with this as its custom VJP so every ``EmbeddingCollection``
-lookup gets the fast backward.
+This is strictly better than a fixed chunks-per-subtile layout: a hot row
+(power-law ids) simply contributes more work items to its subtile, while the
+pipeline keeps streaming.
+
+Numerics: the MXU contracts f32 inputs at bf16x1 precision under
+``--xla_allow_excess_precision`` (measured ~4e-3 relative on N(0,1) grads) —
+the same precision XLA itself uses for every matmul in the model. Tests
+compare in interpret mode (exact f32) and with loose tolerance on TPU.
+
+``packed_take_fast`` wraps the lane-packed gather (``layers/embedding.py
+packed_take``) with this as its custom VJP so every ``EmbeddingCollection``
+lookup gets the fast backward. Replaces the reference's per-feature Keras
+``Embedding`` gradient path (``utils/inputs.py:22-89``, ``layer/core.py:267``).
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,146 +45,153 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import dispatch
 
+_SENTINEL = jnp.int32(2 ** 30)
 
-def _scatter_kernel(tstarts_ref, sids_ref, sgrads_ref, out_ref,
-                    ids_vmem, grads_vmem, sem_ids, sem_grads,
-                    *, tile_rows: int, chunk: int, dim: int, subtiles: int):
-    """One grid step covers ``subtiles`` consecutive table sub-tiles.
 
-    Each sub-tile owns a contiguous range of the sorted update stream
-    (scalar-prefetched ``tstarts``). The first chunk DMA of every sub-tile is
-    software-pipelined across the static sub-tile loop (double-buffered
-    scratch), so DMA latency overlaps the one-hot matmul of the previous
-    sub-tile; the rare multi-chunk tails run serially. Entries outside a
-    sub-tile's row range can appear in its (chunk-aligned) stream but the
-    row-match mask keeps them out — disjoint rows, race-free.
-    """
-    g0 = pl.program_id(0) * subtiles
-    out_ref[:] = jnp.zeros_like(out_ref)
+def _queue_kernel(wsub_ref, wchunk_ref, sids_ref, sgrads_ref, out_ref,
+                  *, tile_rows: int, chunk: int):
+    """One work item: accumulate one sorted-update chunk into one out subtile."""
+    w = pl.program_id(0)
+    sub = wsub_ref[w]
+    prev = wsub_ref[jnp.maximum(w - 1, 0)]
+
+    @pl.when((w == 0) | (prev != sub))
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    base = sub * tile_rows
+    local = sids_ref[0, :] - base                      # [chunk] int32
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, chunk), 0)
-
-    def chunk_start(s):
-        return pl.multiple_of((tstarts_ref[g0 + s] // chunk) * chunk, chunk)
-
-    def issue(s, slot):
-        idx = chunk_start(s)
-        cp_i = pltpu.make_async_copy(
-            sids_ref.at[pl.ds(0, 1), pl.ds(idx, chunk)],
-            ids_vmem.at[slot], sem_ids.at[slot])
-        cp_g = pltpu.make_async_copy(
-            sgrads_ref.at[pl.ds(idx, chunk), :],
-            grads_vmem.at[slot], sem_grads.at[slot])
-        cp_i.start()
-        cp_g.start()
-
-    def wait(s, slot):
-        idx = chunk_start(s)
-        pltpu.make_async_copy(
-            sids_ref.at[pl.ds(0, 1), pl.ds(idx, chunk)],
-            ids_vmem.at[slot], sem_ids.at[slot]).wait()
-        pltpu.make_async_copy(
-            sgrads_ref.at[pl.ds(idx, chunk), :],
-            grads_vmem.at[slot], sem_grads.at[slot]).wait()
-
-    def accum(s, slot, base, row_offset):
-        local = ids_vmem[slot, 0, :] - base  # [chunk]
-        onehot = jnp.where(row_iota == local[None, :],
-                           jnp.float32(1.0), jnp.float32(0.0))
-        out_ref[pl.ds(row_offset, tile_rows), :] += jnp.dot(
-            onehot, grads_vmem[slot, :, :dim],
-            preferred_element_type=jnp.float32)
-
-    issue(0, 0)
-    for s in range(subtiles):
-        slot = s % 2
-        if s + 1 < subtiles:
-            issue(s + 1, (s + 1) % 2)
-        wait(s, slot)
-        base = (g0 + s) * tile_rows
-        row_offset = s * tile_rows
-        accum(s, slot, base, row_offset)
-
-        # rare tail: more than one chunk of updates for this sub-tile
-        end = tstarts_ref[g0 + s + 1]
-
-        def more(state):
-            idx, _ = state
-            idx = pl.multiple_of(idx, chunk)
-            cp_i = pltpu.make_async_copy(
-                sids_ref.at[pl.ds(0, 1), pl.ds(idx, chunk)],
-                ids_vmem.at[slot], sem_ids.at[slot])
-            cp_g = pltpu.make_async_copy(
-                sgrads_ref.at[pl.ds(idx, chunk), :],
-                grads_vmem.at[slot], sem_grads.at[slot])
-            cp_i.start()
-            cp_g.start()
-            cp_i.wait()
-            cp_g.wait()
-            accum(s, slot, base, row_offset)
-            return idx + chunk, 0
-
-        jax.lax.while_loop(lambda st: st[0] < end, more,
-                           (chunk_start(s) + chunk, 0))
+    onehot = jnp.where(row_iota == local[None, :], jnp.float32(1.0),
+                       jnp.float32(0.0))
+    out_ref[:] += jnp.dot(onehot, sgrads_ref[:],
+                          preferred_element_type=jnp.float32)
 
 
-def scatter_add_dense(ids: jax.Array, grads: jax.Array, num_rows: int,
-                      tile_rows: int = 2048, chunk: int = 128,
-                      subtiles: int = 32) -> jax.Array:
-    """``zeros((num_rows, d)).at[ids].add(grads)`` via the sorted one-hot
-    matmul kernel. ids ``[N]`` int32, grads ``[N, d]`` -> ``[num_rows, d]``."""
-    N, d = grads.shape
-    assert d <= 128, "pack wider dims through multiple lookups"
-    grid = pl.cdiv(num_rows, tile_rows * subtiles)
-    num_subtiles = grid * subtiles
-    rows_padded = num_subtiles * tile_rows
+def _build_queue(sids: jax.Array, n: int, num_rows: int, tile_rows: int,
+                 chunk: int) -> Tuple[jax.Array, jax.Array, int, int, int]:
+    """Static-length (subtile, chunk) work queue for a sorted id stream.
 
-    order = jnp.argsort(ids)
-    sids = ids[order].astype(jnp.int32)
-    sgrads = jnp.take(grads, order, axis=0)
+    Returns (w_sub[W], w_chunk[W], W, n_subtiles, pad_chunk). Bound:
+    every subtile needs >=1 item (to zero its tile) and the stream splits
+    into <= ceil(n/chunk) extra items, so W = ceil(n/chunk) + n_subtiles.
+    """
+    n_sub = -(-num_rows // tile_rows)
+    W = -(-n // chunk) + n_sub
+    bounds = jnp.arange(n_sub + 1, dtype=jnp.int32) * tile_rows
+    ts = jnp.searchsorted(sids, bounds).astype(jnp.int32)  # [S+1]
+    first_chunk = ts[:-1] // chunk                          # [S]
+    counts = jnp.maximum(
+        1, -((first_chunk * chunk - ts[1:]) // chunk))      # ceil div
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+    w_sub_raw = jnp.searchsorted(cum, w_idx, side="right").astype(jnp.int32)
+    w_sub = jnp.minimum(w_sub_raw, n_sub - 1)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum[:-1]])
+    w_in = w_idx - offs[w_sub]
+    pad_chunk = (n + chunk - 1) // chunk  # the all-sentinel chunk
+    w_chunk = jnp.where(w_idx < total, first_chunk[w_sub] + w_in, pad_chunk)
+    return w_sub, w_chunk.astype(jnp.int32), W, n_sub, pad_chunk
 
-    # pad the streams so chunk DMAs never run off the end (sentinel ids are
-    # out of every tile's range), and lane-pad the grads to 128 — manual DMA
-    # slices require a 128-aligned minor dimension
-    pad = chunk
-    sids = jnp.concatenate(
-        [sids, jnp.full((pad,), jnp.int32(rows_padded + 1))])[None, :]
-    sgrads = jnp.concatenate([sgrads, jnp.zeros((pad, d), grads.dtype)])
-    lane_pad = 128 - d
-    if lane_pad:
-        sgrads = jnp.pad(sgrads, ((0, 0), (0, lane_pad)))
 
-    tile_bounds = jnp.arange(num_subtiles + 1, dtype=jnp.int32) * tile_rows
-    tstarts = jnp.searchsorted(sids[0, :N], tile_bounds).astype(jnp.int32)
+def _scatter_sorted(sids: jax.Array, sgrads: jax.Array, num_rows: int,
+                    tile_rows: int, chunk: int) -> jax.Array:
+    """Core: sorted ids [N] + lane-full grads [N, 128] -> [rows_pad, 128]."""
+    n = sids.shape[0]
+    w_sub, w_chunk, W, n_sub, pad_chunk = _build_queue(
+        sids, n, num_rows, tile_rows, chunk)
 
-    kernel = functools.partial(_scatter_kernel, tile_rows=tile_rows,
-                               chunk=chunk, dim=d, subtiles=subtiles)
+    # pad the stream with one extra all-sentinel chunk (the target of padding
+    # work items) and up to chunk alignment
+    n_pad = (pad_chunk + 1) * chunk
+    sids_p = jnp.full((1, n_pad), _SENTINEL, jnp.int32).at[0, :n].set(sids)
+    sgrads_p = jnp.zeros((n_pad, 128), jnp.float32).at[:n].set(
+        sgrads.astype(jnp.float32))
+
+    kernel = functools.partial(_queue_kernel, tile_rows=tile_rows, chunk=chunk)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(grid,),
+            num_scalar_prefetch=2,  # w_sub, w_chunk
+            grid=(W,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # sids (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),  # sgrads (HBM)
+                pl.BlockSpec((1, chunk), lambda w, ws, wc: (0, wc[w])),
+                pl.BlockSpec((chunk, 128), lambda w, ws, wc: (wc[w], 0)),
             ],
-            out_specs=pl.BlockSpec((tile_rows * subtiles, d),
-                                   lambda t, tstarts: (t, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, 1, chunk), jnp.int32),
-                pltpu.VMEM((2, chunk, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            out_specs=pl.BlockSpec((tile_rows, 128),
+                                   lambda w, ws, wc: (ws[w], 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((rows_padded, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_sub * tile_rows, 128), jnp.float32),
         interpret=dispatch.interpret_mode(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * tile_rows * (N + num_subtiles * chunk) * d,
-            bytes_accessed=4 * (N * (d + 1) + rows_padded * d),
+            flops=2 * W * tile_rows * chunk * 128,
+            bytes_accessed=4 * (n_pad * 129 + n_sub * tile_rows * 128),
             transcendentals=0),
-    )(tstarts, sids, sgrads.astype(jnp.float32))
-    return out[:num_rows]
+    )(w_sub, w_chunk, sids_p, sgrads_p)
+    return out
+
+
+def _lane_shift(ct: jax.Array, slot: jax.Array, pack: int, dim: int) -> jax.Array:
+    """Place each d-dim cotangent row at its packed lane offset:
+    out[n, slot[n]*dim + j] = ct[n, j]; zeros elsewhere. [N, d] -> [N, 128].
+
+    Tile+mask formulation (cheaper than the one-hot einsum: one fused
+    elementwise pass instead of an [N, P, d] intermediate)."""
+    n = ct.shape[0]
+    lanes = jnp.arange(128)
+    col = jnp.where(lanes < pack * dim, lanes % dim, dim)
+    ct_pad = jnp.pad(ct, ((0, 0), (0, 1)))  # col==dim -> 0
+    tiled = jnp.take(ct_pad, col, axis=1)
+    mask = ((lanes[None, :] // dim) == slot[:, None]) & (
+        lanes[None, :] < pack * dim)
+    return jnp.where(mask, tiled, 0.0).astype(jnp.float32)
+
+
+def scatter_add_dense(ids: jax.Array, grads: jax.Array, num_rows: int,
+                      tile_rows: int = 512, chunk: int = 1024) -> jax.Array:
+    """``zeros((num_rows, d)).at[ids].add(grads)`` via the work-queue kernel.
+
+    ids ``[N]`` int (rows assumed in range), grads ``[N, d]`` with d <= 128
+    -> ``[num_rows, d]`` f32.
+    """
+    N, d = grads.shape
+    assert d <= 128, "pack wider dims through multiple lookups"
+    sids, order = jax.lax.sort([ids.astype(jnp.int32),
+                                jnp.arange(N, dtype=jnp.int32)], num_keys=1)
+    sg = jnp.take(grads, order, axis=0).astype(jnp.float32)
+    if d < 128:
+        sg = jnp.pad(sg, ((0, 0), (0, 128 - d)))
+    out = _scatter_sorted(sids, sg, num_rows, tile_rows, chunk)
+    return out[:num_rows, :d]
+
+
+def packed_scatter_add(lids: jax.Array, ct: jax.Array, num_wide_rows: int,
+                       pack: int, dim: int, tile_rows: int = 512,
+                       chunk: int = 1024) -> jax.Array:
+    """Backward of a lane-packed gather: logical ids [N] + cotangents [N, d]
+    -> dense wide-row gradient [num_wide_rows, 128] (or [., d] when pack==1).
+
+    Fuses sort + reorder + lane-shift + scatter; the shift happens inside the
+    (XLA-fused) gather-into-sorted-order pass, so the [N, 128] stream is
+    materialized exactly once.
+    """
+    N = lids.shape[0]
+    slid, order = jax.lax.sort([lids.astype(jnp.int32),
+                                jnp.arange(N, dtype=jnp.int32)], num_keys=1)
+    sct = jnp.take(ct, order, axis=0)
+    if pack == 1:
+        swid = slid
+        sg = sct.astype(jnp.float32)
+        if dim < 128:
+            sg = jnp.pad(sg, ((0, 0), (0, 128 - dim)))
+    else:
+        swid = slid // pack
+        sg = _lane_shift(sct, slid % pack, pack, dim)
+    out = _scatter_sorted(swid, sg, num_wide_rows, tile_rows, chunk)
+    if pack == 1 and dim < 128:
+        return out[:num_wide_rows, :dim]
+    return out[:num_wide_rows]
 
 
 def scatter_add_dense_ref(ids, grads, num_rows):
@@ -178,32 +200,38 @@ def scatter_add_dense_ref(ids, grads, num_rows):
     return out.at[ids].add(grads.astype(jnp.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def sparse_lookup(table: jax.Array, ids: jax.Array,
-                  use_pallas: Optional[bool] = None) -> jax.Array:
-    """``jnp.take(table, ids, axis=0)`` with the fast scatter backward.
+# ---------------------------------------------------------------------------
+# packed_take with the fast backward
+# ---------------------------------------------------------------------------
 
-    ids may be any shape; result is ``ids.shape + (d,)``. On TPU the backward
-    runs the one-hot-matmul kernel (measured ~12x over XLA scatter); on CPU
-    (or ``use_pallas=False``) it falls back to ``at[].add``.
-    """
-    return jnp.take(table, ids, axis=0)
-
-
-def _sparse_lookup_fwd(table, ids, use_pallas):
-    return jnp.take(table, ids, axis=0), (ids, table.shape[0])
-
-
-def _sparse_lookup_bwd(use_pallas, res, g):
-    ids, num_rows = res
-    flat_ids = ids.reshape(-1)
-    flat_g = g.reshape(-1, g.shape[-1])
-    if dispatch.use_pallas(use_pallas) or (
-            use_pallas is None and dispatch.on_tpu()):
-        dtable = scatter_add_dense(flat_ids, flat_g, num_rows)
-    else:
-        dtable = scatter_add_dense_ref(flat_ids, flat_g, num_rows)
-    return dtable, None
+def _packed_take_impl(stack: jax.Array, lids: jax.Array, pack: int,
+                      dim: int) -> jax.Array:
+    """Forward math shared with layers.embedding.packed_take."""
+    if pack == 1:
+        return jnp.take(stack, lids, axis=0)
+    wide = jnp.take(stack, lids // pack, axis=0)       # [N, 128]
+    wide = wide[:, : pack * dim].reshape(-1, pack, dim)
+    sel = (lids % pack)[:, None] == jnp.arange(pack)[None, :]
+    return jnp.einsum("np,npd->nd", sel.astype(stack.dtype), wide)
 
 
-sparse_lookup.defvjp(_sparse_lookup_fwd, _sparse_lookup_bwd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def packed_take_fast(stack: jax.Array, lids: jax.Array, pack: int,
+                     dim: int) -> jax.Array:
+    """Lane-packed gather ([rows,128] stack, logical ids [N]) -> [N, dim]
+    whose backward runs the work-queue scatter kernel (measured 2.6x the
+    XLA einsum+scatter path on v5e at the DeepFM bench shape)."""
+    return _packed_take_impl(stack, lids, pack, dim)
+
+
+def _packed_take_fast_fwd(stack, lids, pack, dim):
+    return _packed_take_impl(stack, lids, pack, dim), (lids, stack.shape[0])
+
+
+def _packed_take_fast_bwd(pack, dim, res, ct):
+    lids, num_wide_rows = res
+    dstack = packed_scatter_add(lids, ct, num_wide_rows, pack, dim)
+    return dstack, None
+
+
+packed_take_fast.defvjp(_packed_take_fast_fwd, _packed_take_fast_bwd)

@@ -119,9 +119,10 @@ class Trainer:
     # ------------------------------------------------------------------
     def _make_train_step(self):
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
+        mesh = self.mesh
 
         @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: TrainState, batch, labels):
+        def _train_step(state: TrainState, batch, labels):
             step_rng = jax.random.fold_in(state.rng, state.step)
 
             def compute_loss(params):
@@ -146,6 +147,13 @@ class Trainer:
             new_state = state.replace(params=new_params, batch_stats=new_stats,
                                       opt_state=new_opt, step=state.step + 1)
             return new_state, loss
+
+        def train_step(state, batch, labels):
+            # trace-time flag: the Pallas scatter backward is opaque to GSPMD,
+            # so sharded runs keep XLA's partitionable scatter (ops.dispatch)
+            from ..ops import dispatch
+            dispatch.set_mesh_mode(mesh is not None)
+            return _train_step(state, batch, labels)
 
         return train_step
 

@@ -117,7 +117,9 @@ def test_fnn_two_stage_from_fm(criteo):
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
-def test_mmoe_multitask(rng):
+def test_mmoe_multitask():
+    # local generator: result must not depend on the session rng position
+    rng = np.random.default_rng(7)
     X = rng.random((512, 16)).astype(np.float32)
     y = np.stack([(X.sum(1) > 8).astype(np.float32),
                   (X[:, 0] > 0.5).astype(np.float32)], 1)
