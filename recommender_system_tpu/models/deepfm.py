@@ -31,9 +31,10 @@ class DeepFM(nn.Module):
     def __call__(self, batch, train: bool = False):
         # fused first-order + factor lookup: one gather/scatter for both
         emb, linear = UnifiedEmbedding(self.feature_columns, name="unified")(batch)
-        fields = [v[:, None, :] for v in emb.sparse.values()]
-        fields += [v[:, None, :] for v in emb.pooled.values()]
-        stacked = jnp.concatenate(fields, axis=1)  # [B, F, k]
+        stacked = emb.sparse_stack()  # [B, F, k] (fused path when possible)
+        if emb.pooled:
+            pooled = [v[:, None, :] for v in emb.pooled.values()]
+            stacked = jnp.concatenate([stacked] + pooled, axis=1)
         fm_logit = jnp.sum(bi_interaction(stacked), axis=-1, keepdims=True)
 
         B = stacked.shape[0]

@@ -210,9 +210,12 @@ def _packed_take_impl(stack: jax.Array, lids: jax.Array, pack: int,
     if pack == 1:
         return jnp.take(stack, lids, axis=0)
     wide = jnp.take(stack, lids // pack, axis=0)       # [N, 128]
-    wide = wide[:, : pack * dim].reshape(-1, pack, dim)
-    sel = (lids % pack)[:, None] == jnp.arange(pack)[None, :]
-    return jnp.einsum("np,npd->nd", sel.astype(stack.dtype), wide)
+    # mask + sum-over-slots lane select (cheaper than the one-hot einsum;
+    # the backward never traces this — custom_vjp routes to the queue kernel)
+    lanes = jnp.arange(pack * dim)
+    keep = (lanes[None, :] // dim) == (lids % pack)[:, None]
+    picked = jnp.where(keep, wide[:, : pack * dim], 0)
+    return picked.reshape(-1, pack, dim).sum(axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
