@@ -29,7 +29,7 @@ def main():
     import optax
 
     from recommender_system_tpu.models import DeepFM
-    from recommender_system_tpu.training import Trainer
+    from recommender_system_tpu.training import FusedAdagrad, Trainer
     from recommender_system_tpu.utils.benchmark import bench_train_step
     from recommender_system_tpu.utils.datasets import synthetic_criteo
 
@@ -39,7 +39,8 @@ def main():
     labels = jnp.asarray(y)
 
     model = DeepFM(tuple(cols), hidden_units=HIDDEN)
-    trainer = Trainer(model, optimizer=optax.adagrad(0.05))
+    trainer = Trainer(model, optimizer=optax.adagrad(0.05),
+                      fused_embedding=FusedAdagrad(learning_rate=0.05))
     state = trainer.init(batch)
     step = trainer._make_train_step()
 

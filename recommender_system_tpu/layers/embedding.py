@@ -220,13 +220,14 @@ class EmbeddingCollection(nn.Module):
         for dim, group in self._specs.items():
             total = sum(s.vocab for s in group.values())
             P = pack_factor(dim)
-            # round rows up to a multiple of 64 so the stack row-shards
-            # cleanly across any mesh up to 64 devices
+            # round rows up to a multiple of 512 so the stack (a) row-shards
+            # cleanly across any mesh up to 64 devices and (b) tiles evenly
+            # into the fused-optimizer kernel's preferred 512-row subtiles
             if P > 1:
-                rows = -(-((total + P - 1) // P) // 64) * 64
+                rows = -(-((total + P - 1) // P) // 512) * 512
                 shape = (rows, 128)
             else:
-                shape = (-(-total // 64) * 64, dim)
+                shape = (-(-total // 512) * 512, dim)
             stacks[dim] = self.param(
                 f"table_d{dim}",
                 _stack_initializer(tuple(
@@ -247,9 +248,18 @@ class EmbeddingCollection(nn.Module):
         return ids + spec.offset
 
     def _take(self, fc, rows: jax.Array) -> jax.Array:
+        from ..ops import dispatch
+
         dim = fc.embedding_dim
         out = packed_take(self._stacks[dim], rows.reshape(-1), dim)
         out = out.reshape(rows.shape + (dim,))
+        if dispatch.fused_opt_mode() and fc.trainable:
+            # fused sparse optimizer: capture this lookup's cotangent via a
+            # perturb hook + record the resolved rows; the Trainer routes
+            # them into the fused Adagrad kernel (ops/fused_adagrad.py)
+            out = self.perturb(f"grad_{fc.name}", out)
+            self.sow("embed_ids", f"grad_{fc.name}", rows,
+                     reduce_fn=lambda a, b: b)
         if not fc.trainable:
             out = jax.lax.stop_gradient(out)
         return out
@@ -272,12 +282,17 @@ class EmbeddingCollection(nn.Module):
         by_dim: Dict[int, list] = {}
         for fc in sparse_cols:
             by_dim.setdefault(fc.embedding_dim, []).append(fc)
+        from ..ops import dispatch
         for dim, fcs in by_dim.items():
             rows = jnp.stack(
                 [self._resolve_ids(fc, batch[fc.name].reshape(-1)) for fc in fcs],
                 axis=1)  # [B, F]
             embeds = packed_take(self._stacks[dim], rows.reshape(-1), dim)
             embeds = embeds.reshape(rows.shape + (dim,))  # [B, F, d]
+            if dispatch.fused_opt_mode():
+                embeds = self.perturb(f"grad_d{dim}_sparse", embeds)
+                self.sow("embed_ids", f"grad_d{dim}_sparse", rows,
+                         reduce_fn=lambda a, b: b)
             if all(fc.trainable for fc in fcs):
                 fused[dim] = (tuple(fc.name for fc in fcs), embeds)
             for i, fc in enumerate(fcs):

@@ -64,6 +64,23 @@ def mesh_mode() -> bool:
     return _mesh_mode
 
 
+# --- fused sparse optimizer (perturb-hook cotangent capture) ---------------
+# When on, EmbeddingCollection adds flax perturb/sow hooks at every lookup so
+# the Trainer can route embedding cotangents straight into the fused Adagrad
+# scatter kernel (ops/fused_adagrad.py) — no dense stack gradient exists.
+# Trace-time global, same discipline as mesh mode.
+_fused_opt = False
+
+
+def set_fused_opt_mode(active: bool) -> None:
+    global _fused_opt
+    _fused_opt = bool(active)
+
+
+def fused_opt_mode() -> bool:
+    return _fused_opt
+
+
 def fast_scatter(override: Optional[bool] = None) -> bool:
     """Use the Pallas work-queue scatter as the embedding-lookup backward."""
     if override is not None:

@@ -62,9 +62,12 @@ def _queue_kernel(wsub_ref, wchunk_ref, sids_ref, sgrads_ref, out_ref,
     base = sub * tile_rows
     local = sids_ref[0, :] - base                      # [chunk] int32
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, chunk), 0)
-    onehot = jnp.where(row_iota == local[None, :], jnp.float32(1.0),
-                       jnp.float32(0.0))
-    out_ref[:] += jnp.dot(onehot, sgrads_ref[:],
+    # bf16 operands -> single-pass MXU (f32 defaults to the slow multi-pass
+    # path); accumulate f32. Onehot built in f32 first (an i1 mask from an
+    # int32 compare has (8,128) tiling and cannot replicate into bf16 lanes).
+    onehot = jnp.where(row_iota == local[None, :], jnp.float32(1),
+                       jnp.float32(0)).astype(jnp.bfloat16)
+    out_ref[:] += jnp.dot(onehot, sgrads_ref[:].astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
 
 

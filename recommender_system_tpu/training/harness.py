@@ -17,6 +17,7 @@ examples/s is metered, and evaluation streams real AUC/logloss/accuracy
 """
 from __future__ import annotations
 
+import re
 import time
 from functools import partial
 from typing import Any, Callable, Dict, Optional
@@ -40,6 +41,52 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     step: jax.Array
     rng: jax.Array
+
+
+@struct.dataclass
+class FusedAdagrad:
+    """Config for the fused sparse embedding optimizer (ops/fused_adagrad.py).
+
+    The embedding stacks leave the optax tree entirely: their cotangents are
+    captured at the lookup (flax perturb hooks) and applied in-place by the
+    Pallas scatter-Adagrad kernel — no dense stack gradient, no full-table
+    optimizer sweep. Semantics match ``optax.adagrad`` exactly up to one bf16
+    rounding of the gradients (the same precision XLA's matmuls use).
+
+    ``learning_rate`` may be a float or an optax-style schedule ``f(step)``.
+    """
+
+    learning_rate: Any = 0.05
+    eps: float = struct.field(pytree_node=False, default=1e-7)
+    initial_accumulator_value: float = struct.field(
+        pytree_node=False, default=0.1)
+
+
+_STACK_KEY_RE = re.compile(r"^table_d(\d+)$")
+
+
+def _split_stack_params(params):
+    """Split a params tree into (stacks: {flat_path: arr}, rest_tree)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(flax_unfreeze(params))
+    stacks = {p: v for p, v in flat.items() if _STACK_KEY_RE.match(p[-1])}
+    rest = {p: v for p, v in flat.items() if p not in stacks}
+    return stacks, traverse_util.unflatten_dict(rest)
+
+
+def _merge_stack_params(rest_tree, stacks):
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(flax_unfreeze(rest_tree))
+    flat.update(stacks)
+    return traverse_util.unflatten_dict(flat)
+
+
+def flax_unfreeze(tree):
+    from flax.core import unfreeze
+
+    return unfreeze(tree) if isinstance(tree, FrozenDict) else tree
 
 
 def default_loss(outputs, labels, batch=None):
@@ -71,12 +118,22 @@ class Trainer:
         seed: int = 0,
         weight_decay: float = 0.0,
         mesh=None,
+        fused_embedding: Optional[FusedAdagrad] = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — embedding stacks are
         row-sharded across all devices and batches split over the 'data' axis
-        (GSPMD inserts the collectives; see ``parallel.mesh``)."""
+        (GSPMD inserts the collectives; see ``parallel.mesh``).
+
+        ``fused_embedding``: a :class:`FusedAdagrad` config routes embedding
+        cotangents straight into the in-place Pallas scatter-Adagrad kernel
+        (dense params still use ``optimizer``). Incompatible with ``mesh``
+        (the kernel is opaque to GSPMD)."""
         self.model = model
         self.mesh = mesh
+        if fused_embedding is not None and mesh is not None:
+            raise ValueError("fused_embedding is single-device only: the "
+                             "scatter kernel is opaque to GSPMD sharding")
+        self.fused_embedding = fused_embedding
         if optimizer is None:
             optimizer = optax.adam(1e-3)
         if weight_decay:
@@ -98,7 +155,17 @@ class Trainer:
                                     batch, train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
-        opt_state = self.tx.init(params)
+        if self.fused_embedding is not None:
+            stacks, rest = _split_stack_params(params)
+            if not stacks:
+                raise ValueError("fused_embedding set but the model has no "
+                                 "embedding stacks (table_d* params)")
+            accs = {p: jnp.full_like(
+                v, self.fused_embedding.initial_accumulator_value)
+                for p, v in stacks.items()}
+            opt_state = (self.tx.init(rest), accs)
+        else:
+            opt_state = self.tx.init(params)
         state = TrainState(params=params, batch_stats=batch_stats,
                            opt_state=opt_state, step=jnp.int32(0), rng=state_rng)
         if self.mesh is not None:
@@ -117,7 +184,111 @@ class Trainer:
         return batch, jax.device_put(np.asarray(labels), sh)
 
     # ------------------------------------------------------------------
+    def _make_fused_train_step(self):
+        """Train step with the fused sparse embedding optimizer.
+
+        The stacks never enter autodiff (their cotangents come from perturb
+        hooks, ``layers/embedding.py``) and never enter optax — the Pallas
+        kernel applies Adagrad in-place per touched row.
+        """
+        from ..layers.embedding import pack_factor
+        from ..ops import dispatch
+        from ..ops.fused_adagrad import fused_adagrad_apply
+        from flax import traverse_util
+
+        model, tx, loss_fn = self.model, self.tx, self.loss_fn
+        cfg = self.fused_embedding
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _train_step(state: TrainState, batch, labels):
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            dense_opt, accs = state.opt_state
+            stacks, rest = _split_stack_params(state.params)
+            has_bn = len(state.batch_stats) > 0
+
+            def fwd(rest_p, perturbs):
+                variables = {"params": _merge_stack_params(rest_p, stacks),
+                             "perturbations": perturbs}
+                mut = ["embed_ids"]
+                if has_bn:
+                    variables["batch_stats"] = state.batch_stats
+                    mut.append("batch_stats")
+                outputs, mutated = model.apply(
+                    variables, batch, train=True, mutable=mut,
+                    rngs={"dropout": step_rng})
+                new_stats = mutated.get("batch_stats", state.batch_stats)
+                return loss_fn(outputs, labels, batch), (
+                    new_stats, mutated["embed_ids"])
+
+            # zero perturbations with the right shapes (trace-time only)
+            def _shapes(rest_p, rng):
+                variables = {"params": _merge_stack_params(rest_p, stacks)}
+                mut = ["embed_ids", "perturbations"]
+                if has_bn:
+                    variables["batch_stats"] = state.batch_stats
+                    mut.append("batch_stats")
+                return model.apply(variables, batch, train=True, mutable=mut,
+                                   rngs={"dropout": rng})[1]["perturbations"]
+
+            pert_shapes = jax.eval_shape(_shapes, rest, step_rng)
+            perturbs0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                     pert_shapes)
+
+            (loss, (new_stats, ids_tree)), (g_rest, g_pert) = \
+                jax.value_and_grad(fwd, argnums=(0, 1), has_aux=True)(
+                    rest, perturbs0)
+
+            updates, new_dense_opt = tx.update(g_rest, dense_opt, rest)
+            new_rest = optax.apply_updates(rest, updates)
+
+            lr = cfg.learning_rate(state.step) \
+                if callable(cfg.learning_rate) else cfg.learning_rate
+
+            flat_ids = traverse_util.flatten_dict(flax_unfreeze(ids_tree))
+            flat_ct = traverse_util.flatten_dict(flax_unfreeze(g_pert))
+            new_stacks, new_accs = {}, {}
+            for path, stack in stacks.items():
+                scope, key = path[:-1], path[-1]
+                dim = int(_STACK_KEY_RE.match(key).group(1))
+                ids_list, ct_list = [], []
+                for ip, ids in flat_ids.items():
+                    ct = flat_ct.get(ip)
+                    if (ip[:len(scope)] == scope and ct is not None
+                            and ct.shape[-1] == dim):
+                        ids_list.append(ids.reshape(-1))
+                        ct_list.append(ct.reshape(-1, dim))
+                if not ids_list:
+                    new_stacks[path] = stack
+                    new_accs[path] = accs[path]
+                    continue
+                lids = jnp.concatenate(ids_list)
+                ct = jnp.concatenate(ct_list)
+                new_stacks[path], new_accs[path] = fused_adagrad_apply(
+                    stack, accs[path], lids, ct, pack=pack_factor(dim),
+                    dim=dim, lr=lr, eps=cfg.eps,
+                    stream_dtype=jnp.bfloat16 if dispatch.on_tpu()
+                    else jnp.float32)
+
+            new_state = state.replace(
+                params=_merge_stack_params(new_rest, new_stacks),
+                batch_stats=new_stats,
+                opt_state=(new_dense_opt, new_accs),
+                step=state.step + 1)
+            return new_state, loss
+
+        def train_step(state, batch, labels):
+            dispatch.set_fused_opt_mode(True)
+            try:
+                return _train_step(state, batch, labels)
+            finally:
+                dispatch.set_fused_opt_mode(False)
+
+        return train_step
+
+    # ------------------------------------------------------------------
     def _make_train_step(self):
+        if self.fused_embedding is not None:
+            return self._make_fused_train_step()
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
         mesh = self.mesh
 

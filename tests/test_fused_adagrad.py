@@ -1,0 +1,92 @@
+"""Fused sparse Adagrad kernel == dense optax.adagrad on the scattered grad."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from recommender_system_tpu.ops.fused_adagrad import (fused_adagrad_apply,
+                                                      fused_adagrad_ref)
+
+
+@pytest.mark.parametrize("pack,dim,rows,n", [
+    (14, 9, 128, 513),     # lane-packed, odd stream length
+    (16, 8, 192, 64),      # pack*dim == 128 exactly
+    (1, 128, 64, 300),     # unpacked full-lane rows
+])
+def test_matches_dense_optax(pack, dim, rows, n):
+    rng = np.random.default_rng(0)
+    L = 128
+    stack = jnp.asarray(rng.normal(size=(rows, L)).astype(np.float32))
+    acc = jnp.full((rows, L), 0.1, jnp.float32)
+    max_lid = rows * pack
+    lids = jnp.asarray(rng.integers(0, max_lid, size=n, dtype=np.int32))
+    ct = jnp.asarray(rng.normal(size=(n, dim)).astype(np.float32))
+    lr, eps = 0.05, 1e-7
+
+    new_stack, new_acc = jax.jit(
+        lambda s, a, i, c: fused_adagrad_apply(
+            s, a, i, c, pack=pack, dim=dim, lr=lr, eps=eps,
+            tile_rows=64, chunk=128))(stack, acc, lids, ct)
+
+    # the kernel contracts grads at bf16: pre-round the ref's cotangents the
+    # same way, then both sides sum identical values in f32 -> tight tolerance
+    ct_rounded = ct.astype(jnp.bfloat16).astype(jnp.float32)
+    ref_stack, ref_acc = fused_adagrad_ref(
+        stack, acc, lids, ct_rounded, pack=pack, dim=dim, lr=lr, eps=eps)
+
+    # and against real optax on the dense scatter-added gradient
+    from recommender_system_tpu.ops.embedding_grad import _lane_shift
+    if pack == 1:
+        g = jnp.zeros((rows, L)).at[lids].add(
+            jnp.pad(ct_rounded, ((0, 0), (0, L - dim))))
+    else:
+        g = jnp.zeros((rows, L)).at[lids // pack].add(
+            _lane_shift(ct_rounded, lids % pack, pack, dim))
+    tx = optax.adagrad(lr, initial_accumulator_value=0.1, eps=eps)
+    opt_state = tx.init(stack)
+    updates, _ = tx.update(g, opt_state, stack)
+    optax_stack = optax.apply_updates(stack, updates)
+
+    np.testing.assert_allclose(np.asarray(new_acc), np.asarray(ref_acc),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_stack), np.asarray(ref_stack),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref_stack), np.asarray(optax_stack),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_untouched_rows_unchanged():
+    """Empty subtiles are never visited — aliased data must survive."""
+    rng = np.random.default_rng(1)
+    rows, pack, dim = 256, 14, 9
+    stack = jnp.asarray(rng.normal(size=(rows, 128)).astype(np.float32))
+    acc = jnp.full((rows, 128), 0.1, jnp.float32)
+    # all updates hit rows < 64 (subtile 0 of 4 with tile_rows=64)
+    lids = jnp.asarray(rng.integers(0, 64 * pack, size=100, dtype=np.int32))
+    ct = jnp.asarray(rng.normal(size=(100, dim)).astype(np.float32))
+    new_stack, new_acc = jax.jit(
+        lambda s, a, i, c: fused_adagrad_apply(
+            s, a, i, c, pack=pack, dim=dim, lr=0.1, tile_rows=64,
+            chunk=128))(stack, acc, lids, ct)
+    np.testing.assert_array_equal(np.asarray(new_stack[64:]),
+                                  np.asarray(stack[64:]))
+    np.testing.assert_array_equal(np.asarray(new_acc[64:]),
+                                  np.asarray(acc[64:]))
+    assert not np.allclose(np.asarray(new_stack[:64]), np.asarray(stack[:64]))
+
+
+def test_duplicate_ids_presummed():
+    """Duplicates must sum BEFORE squaring (dense-grad semantics)."""
+    stack = jnp.zeros((64, 128), jnp.float32)
+    acc = jnp.zeros((64, 128), jnp.float32)
+    lids = jnp.asarray([3, 3, 3], jnp.int32)  # pack=1
+    ct = jnp.ones((3, 128), jnp.float32)
+    new_stack, new_acc = jax.jit(
+        lambda s, a, i, c: fused_adagrad_apply(
+            s, a, i, c, pack=1, dim=128, lr=1.0, tile_rows=64,
+            chunk=128))(stack, acc, lids, ct)
+    # g=3 summed -> acc=9, update = -1 * 3/sqrt(9+eps) ~= -1
+    np.testing.assert_allclose(np.asarray(new_acc[3]), 9.0, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(new_stack[3]), -1.0, rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(new_stack[4]), 0.0)
