@@ -6,6 +6,10 @@ own first *honest* TPU measurement (see BASELINE.md — the timing protocol is
 differential + fetch-forced because ``block_until_ready`` does not wait
 through the axon tunnel; ``utils/benchmark.py``).
 
+Measures the production configuration: fused sparse-Adagrad embedding
+optimizer (ops/fused_adagrad.py) + a K-step ``lax.scan`` device loop
+(Trainer.make_multi_step) over K distinct pre-staged batches.
+
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
@@ -19,10 +23,13 @@ import jax.numpy as jnp
 # XLA-scatter embeddings + separate linear tables ran 17.9ms/step = 0.458M ex/s.
 BASELINE_EXAMPLES_PER_SEC = 458_000.0
 
-BATCH_SIZE = 8192
+# 16384 is the measured throughput-optimal batch on v5e (8192: 1.87M ex/s,
+# 16384: 2.27M, 32768: 2.26M — fixed per-step costs amortize, then saturate)
+BATCH_SIZE = 16384
 VOCAB = 100_000
 EMBED_DIM = 8
 HIDDEN = (256, 128, 64)
+STEPS_PER_CALL = 8
 
 
 def main():
@@ -30,24 +37,41 @@ def main():
 
     from recommender_system_tpu.models import DeepFM
     from recommender_system_tpu.training import FusedAdagrad, Trainer
-    from recommender_system_tpu.utils.benchmark import bench_train_step
+    from recommender_system_tpu.utils.benchmark import time_iterations
     from recommender_system_tpu.utils.datasets import synthetic_criteo
 
-    cols, X, y = synthetic_criteo(n_rows=BATCH_SIZE, vocab=VOCAB,
-                                  embedding_dim=EMBED_DIM, seed=0)
-    batch = {k: jnp.asarray(v) for k, v in X.items()}
-    labels = jnp.asarray(y)
+    # K distinct batches, stacked on a leading axis and staged on-device once
+    stacked, labels_list = [], []
+    for k in range(STEPS_PER_CALL):
+        cols, X, y = synthetic_criteo(n_rows=BATCH_SIZE, vocab=VOCAB,
+                                      embedding_dim=EMBED_DIM, seed=k)
+        stacked.append(X)
+        labels_list.append(y)
+    batches = {key: jnp.asarray(np.stack([X[key] for X in stacked]))
+               for key in stacked[0]}
+    labels = jnp.asarray(np.stack(labels_list))
+    batch0 = {k: v[0] for k, v in batches.items()}
 
     model = DeepFM(tuple(cols), hidden_units=HIDDEN)
     trainer = Trainer(model, optimizer=optax.adagrad(0.05),
                       fused_embedding=FusedAdagrad(learning_rate=0.05))
-    state = trainer.init(batch)
-    step = trainer._make_train_step()
+    state = trainer.init(batch0)
+    multi = trainer.make_multi_step()
+
+    holder = {"state": state}
+
+    def run_n(n):
+        s = holder["state"]
+        losses = None
+        for _ in range(n):
+            s, losses = multi(s, batches, labels)
+        holder["state"] = s
+        return losses
 
     best = float("inf")
     for _ in range(3):
-        sec, state = bench_train_step(step, state, batch, labels)
-        best = min(best, sec)
+        sec_per_call = time_iterations(run_n, 3, 13)
+        best = min(best, sec_per_call / STEPS_PER_CALL)
 
     examples_per_sec = BATCH_SIZE / best
     print(json.dumps({

@@ -211,14 +211,20 @@ def _packed_take_impl(stack: jax.Array, lids: jax.Array, pack: int,
                       dim: int) -> jax.Array:
     """Forward math shared with layers.embedding.packed_take."""
     if pack == 1:
-        return jnp.take(stack, lids, axis=0)
-    wide = jnp.take(stack, lids // pack, axis=0)       # [N, 128]
-    # mask + sum-over-slots lane select (cheaper than the one-hot einsum;
-    # the backward never traces this — custom_vjp routes to the queue kernel)
+        return jax.lax.optimization_barrier(jnp.take(stack, lids, axis=0))
+    # barrier keeps the gather unfused (fast row-DMA lowering); lane select
+    # via a tiny MXU matmul — see layers/embedding.py packed_take
+    wide = jax.lax.optimization_barrier(
+        jnp.take(stack, lids // pack, axis=0))         # [N, 128]
     lanes = jnp.arange(pack * dim)
     keep = (lanes[None, :] // dim) == (lids % pack)[:, None]
     picked = jnp.where(keep, wide[:, : pack * dim], 0)
-    return picked.reshape(-1, pack, dim).sum(axis=1)
+    r_sel = (lanes[:, None] % dim) == jnp.arange(dim)[None, :]
+    # HIGHEST precision keeps the dot f32 so XLA cannot hoist a bf16
+    # convert into the gather (see layers/embedding.py packed_take)
+    return jnp.dot(picked, r_sel.astype(stack.dtype),
+                   preferred_element_type=stack.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

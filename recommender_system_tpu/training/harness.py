@@ -184,8 +184,8 @@ class Trainer:
         return batch, jax.device_put(np.asarray(labels), sh)
 
     # ------------------------------------------------------------------
-    def _make_fused_train_step(self):
-        """Train step with the fused sparse embedding optimizer.
+    def _make_fused_step_body(self):
+        """Step body (unjitted) with the fused sparse embedding optimizer.
 
         The stacks never enter autodiff (their cotangents come from perturb
         hooks, ``layers/embedding.py``) and never enter optax — the Pallas
@@ -199,7 +199,6 @@ class Trainer:
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
         cfg = self.fused_embedding
 
-        @partial(jax.jit, donate_argnums=(0,))
         def _train_step(state: TrainState, batch, labels):
             step_rng = jax.random.fold_in(state.rng, state.step)
             dense_opt, accs = state.opt_state
@@ -276,23 +275,16 @@ class Trainer:
                 step=state.step + 1)
             return new_state, loss
 
-        def train_step(state, batch, labels):
-            dispatch.set_fused_opt_mode(True)
-            try:
-                return _train_step(state, batch, labels)
-            finally:
-                dispatch.set_fused_opt_mode(False)
-
-        return train_step
+        return _train_step
 
     # ------------------------------------------------------------------
-    def _make_train_step(self):
+    def _make_step_body(self):
+        """The single-step body (state, batch, labels) -> (state, loss),
+        unjitted — shared by the jitted step and the scanned multi-step."""
         if self.fused_embedding is not None:
-            return self._make_fused_train_step()
+            return self._make_fused_step_body()
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
-        mesh = self.mesh
 
-        @partial(jax.jit, donate_argnums=(0,))
         def _train_step(state: TrainState, batch, labels):
             step_rng = jax.random.fold_in(state.rng, state.step)
 
@@ -319,14 +311,52 @@ class Trainer:
                                       opt_state=new_opt, step=state.step + 1)
             return new_state, loss
 
-        def train_step(state, batch, labels):
-            # trace-time flag: the Pallas scatter backward is opaque to GSPMD,
-            # so sharded runs keep XLA's partitionable scatter (ops.dispatch)
-            from ..ops import dispatch
-            dispatch.set_mesh_mode(mesh is not None)
-            return _train_step(state, batch, labels)
+        return _train_step
 
-        return train_step
+    def _with_dispatch_flags(self, fn):
+        """Wrap a jitted step so trace-time dispatch globals are set: mesh
+        mode (Pallas scatter is opaque to GSPMD) and fused-optimizer mode
+        (perturb/sow hooks in the embedding layers)."""
+        from ..ops import dispatch
+
+        mesh, fused = self.mesh, self.fused_embedding is not None
+
+        def run(*args):
+            dispatch.set_mesh_mode(mesh is not None)
+            dispatch.set_fused_opt_mode(fused)
+            try:
+                return fn(*args)
+            finally:
+                dispatch.set_fused_opt_mode(False)
+
+        return run
+
+    def _make_train_step(self):
+        body = self._make_step_body()
+        return self._with_dispatch_flags(
+            partial(jax.jit, donate_argnums=(0,))(body))
+
+    def make_multi_step(self):
+        """Jitted K-step device loop: ``(state, batches, labels) -> (state,
+        losses[K])`` with batch/label leaves stacked on a leading axis.
+
+        ``lax.scan`` keeps all K steps in ONE dispatch, amortizing the
+        host->device dispatch latency (~1ms/call through the axon tunnel;
+        tens of us on a local runtime) that a per-step python loop pays
+        every step. The TPU-native analogue of the reference's inner
+        ``model.fit`` batching loop (``utils/compile_fit.py:14``).
+        """
+        body = self._make_step_body()
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def multi(state, batches, labels):
+            def scan_body(st, bl):
+                b, lb = bl
+                return body(st, b, lb)
+
+            return jax.lax.scan(scan_body, state, (batches, labels))
+
+        return self._with_dispatch_flags(multi)
 
     def _make_eval_step(self):
         model = self.model
@@ -355,24 +385,51 @@ class Trainer:
         epochs: int = 1,
         log_every: int = 0,
         shuffle: bool = True,
+        steps_per_call: int = 1,
     ):
-        """Train; returns (state, history dict with losses and examples/s)."""
+        """Train; returns (state, history dict with losses and examples/s).
+
+        ``steps_per_call > 1`` groups that many batches into one jitted
+        ``lax.scan`` dispatch (see ``make_multi_step``) — higher throughput,
+        losses reported per group."""
         if self._train_step is None:
             self._train_step = self._make_train_step()
+        multi = self.make_multi_step() if steps_per_call > 1 else None
         history = {"loss": [], "examples_per_sec": []}
         for epoch in range(epochs):
             losses = []
             n_examples = 0
+            pending = []
             t0 = time.perf_counter()
+
+            def flush_pending():
+                nonlocal state, n_examples
+                group = pending[:steps_per_call]
+                del pending[:len(group)]
+                if len(group) == steps_per_call and multi is not None:
+                    bs = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                      *[g[0] for g in group])
+                    ls = jnp.stack([g[1] for g in group])
+                    st, group_losses = multi(state, bs, ls)
+                    state = st
+                    losses.extend(group_losses)
+                else:
+                    for xb, yb in group:
+                        state, loss = self._train_step(state, xb, yb)
+                        losses.append(loss)
+                n_examples += len(group) * batch_size
+
             for xb, yb in iter_batches(X, y, batch_size, shuffle=shuffle,
                                        seed=self.seed + epoch):
                 xb, yb = self._place_batch(xb, yb)
-                state, loss = self._train_step(state, xb, yb)
-                losses.append(loss)
-                n_examples += batch_size
-                if log_every and len(losses) % log_every == 0:
+                pending.append((xb, yb))
+                if len(pending) >= steps_per_call:
+                    flush_pending()
+                if log_every and len(losses) % log_every == 0 and losses:
                     print(f"epoch {epoch} step {len(losses)} "
-                          f"loss {float(loss):.4f}")
+                          f"loss {float(losses[-1]):.4f}")
+            while pending:
+                flush_pending()
             # force real completion inside the timed region: block_until_ready
             # does not wait through the axon tunnel (see utils/benchmark.py);
             # fetching the LAST loss forces all prior steps (in-order device)

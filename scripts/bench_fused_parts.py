@@ -90,13 +90,23 @@ def main():
             lambda i, c, d=sd: prep(i, c, d))(lids, ct)
         w_sub, w_chunk, sids_p, sg_p = jax.block_until_ready(
             (w_sub, w_chunk, sids_p, sg_p))
+        W, pad_chunk = int(W), int(pad_chunk)
         print(f"  W={W} pad_chunk={pad_chunk}")
 
         for dm, lbl in ((True, "full"), (False, "stream-only")):
-            kf = jax.jit(lambda ws, wc, hy, sp, gp, s, a, dm=dm: jax.tree.map(
-                jnp.sum, kernel_call(ws, wc, hy, sp, gp, s, a, W, pad_chunk,
-                                     do_matmul=dm)))
-            t = timeit(kf, w_sub, w_chunk, hyper, sids_p, sg_p, stack, acc)
+            kf = jax.jit(lambda ws, wc, hy, sp, gp, s, a, dm=dm: kernel_call(
+                ws, wc, hy, sp, gp, s, a, W, pad_chunk, do_matmul=dm),
+                donate_argnums=(5, 6))
+            st, ac = stack, acc
+            st, ac = kf(w_sub, w_chunk, hyper, sids_p, sg_p, st, ac)
+            jax.block_until_ready((st, ac))
+            float(np.asarray(st[0, 0]))
+            t0 = time.perf_counter()
+            n = 30
+            for _ in range(n):
+                st, ac = kf(w_sub, w_chunk, hyper, sids_p, sg_p, st, ac)
+            float(np.asarray(st[0, 0]))
+            t = (time.perf_counter() - t0) / n
             print(f"  kernel {lbl:12s} {sd.__name__:8s}: {t*1e3:8.3f} ms")
 
 
