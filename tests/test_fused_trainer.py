@@ -68,3 +68,79 @@ def test_fused_eval_and_predict_paths():
     preds = tr.predict(state, X, batch_size=128)
     assert preds.shape[0] == 256
     assert np.isfinite(preds).all()
+
+
+def test_fused_din_sequence_model():
+    """Fused optimizer with varlen [B,T] lookups (DIN) matches dense."""
+    import jax
+    from recommender_system_tpu.models import DIN
+    from recommender_system_tpu.utils.features import (DenseFeat, SparseFeat,
+                                                       VarLenSparseFeat)
+    rng = np.random.default_rng(0)
+    B, T, V = 256, 10, 40
+    cols = (
+        SparseFeat("user_id", V, 8),
+        SparseFeat("item_id", V, 8, embedding_name="item_id"),
+        VarLenSparseFeat(SparseFeat("hist_item_id", V, 8,
+                                    embedding_name="item_id"), maxlen=T),
+        DenseFeat("price", 1),
+    )
+    batch = {
+        "user_id": jnp.asarray(rng.integers(1, V, size=B)),
+        "item_id": jnp.asarray(rng.integers(1, V, size=B)),
+        "hist_item_id": jnp.asarray(
+            rng.integers(0, V, size=(B, T))),  # zeros = padding
+        "price": jnp.asarray(rng.normal(size=(B, 1)).astype(np.float32)),
+    }
+    labels = jnp.asarray(rng.integers(0, 2, size=B).astype(np.float32))
+    model = DIN(cols, behavior_feature_list=("item_id",))
+
+    lr = 0.05
+    dense_tr = Trainer(model, optimizer=optax.adagrad(lr), seed=1)
+    fused_tr = Trainer(model, optimizer=optax.adagrad(lr), seed=1,
+                       fused_embedding=FusedAdagrad(lr))
+    ds, fs = dense_tr.init(batch), fused_tr.init(batch)
+    d_step, f_step = dense_tr._make_train_step(), fused_tr._make_train_step()
+    for _ in range(3):
+        ds, dl = d_step(ds, batch, labels)
+        fs, fl = f_step(fs, batch, labels)
+    np.testing.assert_allclose(float(dl), float(fl), rtol=1e-3)
+    for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(ds.params),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(fs.params),
+                   key=lambda kv: str(kv[0]))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4,
+                                   err_msg=str(pa))
+
+
+def test_fused_multi_step_scan_matches_loop():
+    """make_multi_step(scan) == the same steps issued one by one."""
+    cols, batch, labels = _setup(n=256, vocab=40)
+    model = DeepFM(tuple(cols), hidden_units=(16,))
+
+    def mk():
+        tr = Trainer(model, optimizer=optax.adagrad(0.05),
+                     fused_embedding=FusedAdagrad(0.05), seed=7)
+        return tr, tr.init(batch)
+
+    tr1, s1 = mk()
+    step = tr1._make_train_step()
+    losses_loop = []
+    for _ in range(4):
+        s1, l = step(s1, batch, labels)
+        losses_loop.append(float(l))
+
+    tr2, s2 = mk()
+    multi = tr2.make_multi_step()
+    import jax
+    batches = jax.tree.map(lambda x: jnp.stack([x] * 4), batch)
+    labs = jnp.stack([labels] * 4)
+    s2, losses = multi(s2, batches, labs)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_loop),
+                               rtol=1e-4)
+    a = s1.params["unified"]["embeddings"]["table_d9"]
+    b = s2.params["unified"]["embeddings"]["table_d9"]
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                               atol=1e-6)
