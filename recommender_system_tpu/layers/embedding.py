@@ -271,9 +271,22 @@ class EmbeddingCollection(nn.Module):
             out = self.perturb(f"grad_{fc.name}", out)
             self.sow("embed_ids", f"grad_{fc.name}", rows,
                      reduce_fn=lambda a, b: b)
+            spec = self._specs[dim][fc.embedding_name]
+            self._sow_sort_info(f"grad_{fc.name}", rows.reshape(-1, 1),
+                                [(spec.offset, spec.vocab)])
         if not fc.trainable:
             out = jax.lax.stop_gradient(out)
         return out
+
+    def _sow_sort_info(self, name: str, rows: jax.Array, col_ranges) -> None:
+        """Pre-sort the update stream for the fused optimizer when the static
+        table layout allows it (ops/stream_sort.py); the Trainer consumes the
+        sown (slid, order) instead of running a generic pair sort."""
+        from ..ops.stream_sort import blocked_sort
+
+        info = blocked_sort(rows, col_ranges)
+        if info is not None:
+            self.sow("embed_sort", name, info, reduce_fn=lambda a, b: b)
 
     def lookup(self, fc, ids: jax.Array) -> jax.Array:
         """Embed arbitrary-shape ids for one feature column -> ids.shape + [d]."""
@@ -304,6 +317,10 @@ class EmbeddingCollection(nn.Module):
                 embeds = self.perturb(f"grad_d{dim}_sparse", embeds)
                 self.sow("embed_ids", f"grad_d{dim}_sparse", rows,
                          reduce_fn=lambda a, b: b)
+                specs = [self._specs[dim][fc.embedding_name] for fc in fcs]
+                self._sow_sort_info(
+                    f"grad_d{dim}_sparse", rows,
+                    [(s.offset, s.vocab) for s in specs])
             if all(fc.trainable for fc in fcs):
                 fused[dim] = (tuple(fc.name for fc in fcs), embeds)
             for i, fc in enumerate(fcs):

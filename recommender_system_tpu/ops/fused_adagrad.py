@@ -146,11 +146,14 @@ def fused_adagrad_apply(
     stack: jax.Array, acc: jax.Array, lids: jax.Array, ct: jax.Array,
     *, pack: int, dim: int, lr, eps: float = 1e-7,
     tile_rows: int = 512, chunk: int = 1024, stream_dtype=jnp.float32,
+    presorted=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """In-place Adagrad on a lane-packed stack from a sparse update stream.
 
     stack/acc ``[rows, L]`` f32 (L=128 lane-packed, or =dim unpacked),
     lids ``[N]`` logical row ids, ct ``[N, dim]`` cotangents, lr scalar.
+    ``presorted``: optional ``(slid, order)`` from ``ops.stream_sort``
+    (sorted logical ids + permutation) — skips the generic pair sort.
     Returns (new_stack, new_acc); the inputs are aliased (donated).
     Exactly matches ``optax.adagrad`` applied to the dense scatter-added
     gradient (duplicates pre-summed per row before squaring).
@@ -163,23 +166,32 @@ def fused_adagrad_apply(
                                  lr=lr, eps=eps)
     tile_rows = _choose_tile_rows(num_rows, tile_rows)
 
-    slid, order = jax.lax.sort([lids.astype(jnp.int32),
-                                jnp.arange(N, dtype=jnp.int32)], num_keys=1)
-    sct = jnp.take(ct, order, axis=0)
-    if pack == 1:
-        swid = slid
-        sg = sct.astype(stream_dtype)
-        if L > dim:
-            sg = jnp.pad(sg, ((0, 0), (0, L - dim)))
+    if presorted is not None:
+        slid, order = presorted
+        slid = slid.astype(jnp.int32)
+        order = order.astype(jnp.int32)
     else:
-        swid = slid // pack
-        sg = _lane_shift_matmul(sct, slid % pack, pack, dim, stream_dtype)
+        slid, order = jax.lax.sort([lids.astype(jnp.int32),
+                                    jnp.arange(N, dtype=jnp.int32)],
+                                   num_keys=1)
+    swid = slid // pack if pack > 1 else slid
 
     w_sub, w_chunk, W, n_sub, pad_chunk = _build_queue_sparse(
         swid, N, num_rows, tile_rows, chunk)
     n_pad = (pad_chunk + 1) * chunk
+    # pad BEFORE reorder/lane-shift so the wide [n_pad, L] stream is
+    # materialized exactly once (tail rows gather junk grads, but their
+    # sids are SENTINEL so the kernel's onehot never matches them)
+    order_p = jnp.pad(order, (0, n_pad - N))
+    sct = jnp.take(ct, order_p, axis=0)                   # [n_pad, dim]
+    if pack == 1:
+        sg_p = sct.astype(stream_dtype)
+        if L > dim:
+            sg_p = jnp.pad(sg_p, ((0, 0), (0, L - dim)))
+    else:
+        slot_p = jnp.pad(slid, (0, n_pad - N)) % pack
+        sg_p = _lane_shift_matmul(sct, slot_p, pack, dim, stream_dtype)
     sids_p = jnp.full((1, n_pad), _SENTINEL, jnp.int32).at[0, :N].set(swid)
-    sg_p = jnp.zeros((n_pad, L), stream_dtype).at[:N].set(sg)
     hyper = jnp.asarray([lr], jnp.float32)
 
     kernel = functools.partial(

@@ -208,7 +208,7 @@ class Trainer:
             def fwd(rest_p, perturbs):
                 variables = {"params": _merge_stack_params(rest_p, stacks),
                              "perturbations": perturbs}
-                mut = ["embed_ids"]
+                mut = ["embed_ids", "embed_sort"]
                 if has_bn:
                     variables["batch_stats"] = state.batch_stats
                     mut.append("batch_stats")
@@ -217,12 +217,13 @@ class Trainer:
                     rngs={"dropout": step_rng})
                 new_stats = mutated.get("batch_stats", state.batch_stats)
                 return loss_fn(outputs, labels, batch), (
-                    new_stats, mutated["embed_ids"])
+                    new_stats, mutated["embed_ids"],
+                    mutated.get("embed_sort", {}))
 
             # zero perturbations with the right shapes (trace-time only)
             def _shapes(rest_p, rng):
                 variables = {"params": _merge_stack_params(rest_p, stacks)}
-                mut = ["embed_ids", "perturbations"]
+                mut = ["embed_ids", "embed_sort", "perturbations"]
                 if has_bn:
                     variables["batch_stats"] = state.batch_stats
                     mut.append("batch_stats")
@@ -233,7 +234,7 @@ class Trainer:
             perturbs0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
                                      pert_shapes)
 
-            (loss, (new_stats, ids_tree)), (g_rest, g_pert) = \
+            (loss, (new_stats, ids_tree, sort_tree)), (g_rest, g_pert) = \
                 jax.value_and_grad(fwd, argnums=(0, 1), has_aux=True)(
                     rest, perturbs0)
 
@@ -245,28 +246,38 @@ class Trainer:
 
             flat_ids = traverse_util.flatten_dict(flax_unfreeze(ids_tree))
             flat_ct = traverse_util.flatten_dict(flax_unfreeze(g_pert))
+            # leaf at each site path is the sown (slid, order) tuple
+            flat_sort = traverse_util.flatten_dict(flax_unfreeze(sort_tree))
             new_stacks, new_accs = {}, {}
             for path, stack in stacks.items():
                 scope, key = path[:-1], path[-1]
                 dim = int(_STACK_KEY_RE.match(key).group(1))
-                ids_list, ct_list = [], []
+                ids_list, ct_list, site_paths = [], [], []
                 for ip, ids in flat_ids.items():
                     ct = flat_ct.get(ip)
                     if (ip[:len(scope)] == scope and ct is not None
                             and ct.shape[-1] == dim):
                         ids_list.append(ids.reshape(-1))
                         ct_list.append(ct.reshape(-1, dim))
+                        site_paths.append(ip)
                 if not ids_list:
                     new_stacks[path] = stack
                     new_accs[path] = accs[path]
                     continue
                 lids = jnp.concatenate(ids_list)
                 ct = jnp.concatenate(ct_list)
+                presorted = None
+                if len(site_paths) == 1:
+                    # pre-sorted stream from the lookup site (stream_sort);
+                    # multi-site stacks interleave streams -> generic sort
+                    info = flat_sort.get(site_paths[0])
+                    if info is not None:
+                        presorted = (info[0], info[1])
                 new_stacks[path], new_accs[path] = fused_adagrad_apply(
                     stack, accs[path], lids, ct, pack=pack_factor(dim),
                     dim=dim, lr=lr, eps=cfg.eps,
                     stream_dtype=jnp.bfloat16 if dispatch.on_tpu()
-                    else jnp.float32)
+                    else jnp.float32, presorted=presorted)
 
             new_state = state.replace(
                 params=_merge_stack_params(new_rest, new_stacks),
