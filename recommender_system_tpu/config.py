@@ -22,7 +22,7 @@ class ExperimentConfig:
     model_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     # data
-    dataset: str = "criteo"         # criteo | movielens | synthetic | synthetic_behavior
+    dataset: str = "criteo"         # criteo | avazu | amazon | movielens | synthetic | synthetic_behavior
     data_path: Optional[str] = None
     hash_buckets: Optional[int] = None
     max_rows: Optional[int] = None

@@ -49,6 +49,23 @@ def build_data(config: ExperimentConfig):
                                  max_rows=config.max_rows)
         except FileNotFoundError:
             name = "synthetic"
+    if name == "avazu":
+        if not config.data_path:
+            raise ValueError("--dataset avazu requires --data-path train.csv")
+        return D.load_avazu(config.data_path,
+                            embedding_dim=config.embedding_dim,
+                            hash_buckets=config.hash_buckets or 1_000_000,
+                            max_rows=config.max_rows)
+    if name == "amazon":
+        if not config.data_path:
+            raise ValueError("--dataset amazon requires --data-path "
+                             "reviews.json[.gz][,meta.json[.gz]]")
+        parts = config.data_path.split(",")
+        return D.build_amazon_behavior_dataset(
+            parts[0], parts[1] if len(parts) > 1 else None,
+            seq_len=config.seq_len, embedding_dim=config.embedding_dim,
+            max_rows=config.max_rows,
+            negsample_hist=(config.model == "dien"), seed=config.seed)
     if name == "movielens":
         try:
             ratings = D.load_movielens_ratings(config.data_path)

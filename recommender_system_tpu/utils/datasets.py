@@ -284,6 +284,239 @@ def rows_to_batch(rows, seq_max_len: int) -> Tuple[Dict[str, np.ndarray], np.nda
 
 
 # ---------------------------------------------------------------------------
+# Avazu (hashed-categorical CTR, BASELINE.json config 3)
+# ---------------------------------------------------------------------------
+
+AVAZU_SPARSE = [
+    "C1", "banner_pos", "site_id", "site_domain", "site_category",
+    "app_id", "app_domain", "app_category", "device_id", "device_ip",
+    "device_model", "device_type", "device_conn_type",
+    "C14", "C15", "C16", "C17", "C18", "C19", "C20", "C21",
+]
+
+
+def load_avazu(
+    path: str,
+    embedding_dim: int = 8,
+    hash_buckets: int = 1_000_000,
+    test_frac: float = 0.2,
+    max_rows: Optional[int] = None,
+) -> Tuple[list, Dict[str, np.ndarray], np.ndarray, Dict[str, np.ndarray], np.ndarray]:
+    """Load the Avazu CTR CSV (kaggle ``train.csv`` schema) into typed columns.
+
+    The reference has no Avazu pipeline; BASELINE.json config 3 names
+    Criteo/Avazu-style hashed categoricals as a target workload. Every raw
+    column is categorical; all 21 are FNV-1a hashed into ``hash_buckets``
+    (id 0 reserved for missing). The ``hour`` field (YYMMDDHH) is expanded
+    into two small-vocab derived features ``hour_of_day`` (24+1) and
+    ``day_of_week`` (7+1) instead of being hashed — the standard Avazu
+    treatment, and it keeps time signal out of the big hash space.
+
+    Deterministic split: last ``test_frac`` of rows (same policy as
+    ``load_criteo``). Returns (columns, X_train, y_train, X_test, y_test).
+    """
+    import datetime
+
+    import pandas as pd
+
+    df = pd.read_csv(path, nrows=max_rows, dtype=str)
+    y = df["click"].to_numpy(np.float32)
+
+    columns: list = []
+    X: Dict[str, np.ndarray] = {}
+
+    hours = df["hour"].to_numpy()
+    hod = np.asarray([int(h) % 100 for h in hours], np.int32)
+    dow = np.asarray(
+        [datetime.date(2000 + int(h[:2]), int(h[2:4]), int(h[4:6])).weekday()
+         for h in hours], np.int32)
+    columns.append(SparseFeat("hour_of_day", 25, embedding_dim))
+    X["hour_of_day"] = hod + 1  # 0 reserved for padding/missing
+    columns.append(SparseFeat("day_of_week", 8, embedding_dim))
+    X["day_of_week"] = dow + 1
+
+    for c in AVAZU_SPARSE:
+        vals = [None if (isinstance(v, float) and np.isnan(v)) else v
+                for v in df[c]]
+        X[c] = hash_strings_np(vals, hash_buckets, mask_zero=True).astype(np.int32)
+        columns.append(SparseFeat(c, hash_buckets, embedding_dim))
+
+    n = len(y)
+    n_test = int(n * test_frac)
+    tr, te = slice(0, n - n_test), slice(n - n_test, n)
+    return (columns, {k: v[tr] for k, v in X.items()}, y[tr],
+            {k: v[te] for k, v in X.items()}, y[te])
+
+
+# ---------------------------------------------------------------------------
+# Amazon Electronics behavior sequences (DIN/DIEN, BASELINE.json config 4)
+# ---------------------------------------------------------------------------
+
+def _open_maybe_gzip(path: str):
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rt")
+    return open(path, "r")
+
+
+def load_amazon_reviews(reviews_path: str, meta_path: Optional[str] = None,
+                        max_rows: Optional[int] = None):
+    """Parse Amazon product-review JSON-lines (the DIN paper's dataset format).
+
+    ``reviews_path``: ``reviews_*_5.json[.gz]`` lines with reviewerID / asin /
+    unixReviewTime. ``meta_path`` (optional): ``meta_*.json[.gz]`` lines with
+    asin / categories, used to attach a category id per item (DIN/DIEN use
+    (item, category) pairs, ``model/dien.py:172-199``'s item_id+cate_id).
+
+    Returns (df, n_users, n_items, n_cates) where df has integer-encoded
+    user_id / item_id / cate_id (>=1; 0 is the padding id) + timestamp,
+    sorted chronologically. Lines are ``eval``-free: parsed with json after a
+    single-quote fixup pass (the raw meta files use python literals).
+    """
+    import ast
+    import json as _json
+
+    import pandas as pd
+
+    asin_cate: Dict[str, str] = {}
+    if meta_path is not None:
+        with _open_maybe_gzip(meta_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = _json.loads(line)
+                except ValueError:
+                    rec = ast.literal_eval(line)  # python-literal meta lines
+                cats = rec.get("categories") or [["unknown"]]
+                asin_cate[rec["asin"]] = cats[0][-1] if cats[0] else "unknown"
+
+    users, asins, times = [], [], []
+    with _open_maybe_gzip(reviews_path) as f:
+        for i, line in enumerate(f):
+            if max_rows is not None and i >= max_rows:
+                break
+            line = line.strip()
+            if not line:
+                continue
+            rec = _json.loads(line)
+            users.append(rec["reviewerID"])
+            asins.append(rec["asin"])
+            times.append(int(rec.get("unixReviewTime", 0)))
+
+    df = pd.DataFrame({"user": users, "asin": asins, "timestamp": times})
+    uuniq, uinv = np.unique(df["user"].to_numpy(), return_inverse=True)
+    iuniq, iinv = np.unique(df["asin"].to_numpy(), return_inverse=True)
+    df["user_id"] = (uinv + 1).astype(np.int32)
+    df["item_id"] = (iinv + 1).astype(np.int32)
+    cates = [asin_cate.get(a, "unknown") for a in iuniq]
+    cuniq, cinv = np.unique(np.asarray(cates), return_inverse=True)
+    item_cate = np.concatenate([[0], cinv + 1]).astype(np.int32)  # 0 pads
+    df["cate_id"] = item_cate[df["item_id"].to_numpy()]
+    df = df.sort_values("timestamp", kind="stable").reset_index(drop=True)
+    return df, len(uuniq) + 1, len(iuniq) + 1, len(cuniq) + 1, item_cate
+
+
+def build_amazon_behavior_dataset(
+    reviews_path: str,
+    meta_path: Optional[str] = None,
+    seq_len: int = 50,
+    embedding_dim: int = 8,
+    max_rows: Optional[int] = None,
+    negsample_hist: bool = False,
+    seed: int = 0,
+) -> Tuple[list, Dict[str, np.ndarray], np.ndarray, Dict[str, np.ndarray], np.ndarray]:
+    """DIN-paper-style Amazon behavior dataset: next-item CTR with sampled negatives.
+
+    Per user (chronological review sequence ``s``): the prefix before the last
+    item trains, the last item tests. Each positive (history → next item,
+    label 1) is paired with one uniformly-sampled non-interacted item as the
+    label-0 example over the same history — the DIN paper's construction. Item
+    and category histories share the target features' embedding tables
+    (``embedding_name`` aliasing, same semantics DIEN relies on at
+    ``model/dien.py:180-183``).
+
+    ``negsample_hist`` additionally emits per-position negative histories for
+    DIEN's auxiliary loss. Returns (columns, X_train, y_train, X_test, y_test).
+    """
+    df, n_users, n_items, n_cates, item_cate = load_amazon_reviews(
+        reviews_path, meta_path, max_rows=max_rows)
+    rng = np.random.default_rng(seed)
+
+    def sample_neg(seen: set) -> int:
+        while True:
+            cand = int(rng.integers(1, n_items))
+            if cand not in seen:
+                return cand
+
+    rows_train: List[tuple] = []
+    rows_test: List[tuple] = []
+    for uid, grp in df.groupby("user_id", sort=False):
+        items = grp["item_id"].tolist()
+        if len(items) < 2:
+            continue
+        seen = set(items)
+        for i in range(1, len(items)):
+            hist = items[max(0, i - seq_len): i]
+            pad = np.zeros(seq_len, np.int32)
+            pad[: len(hist)] = hist
+            out = rows_test if i == len(items) - 1 else rows_train
+            out.append((uid, items[i], 1.0, pad, len(hist)))
+            out.append((uid, sample_neg(seen), 0.0, pad, len(hist)))
+
+    item_feat = SparseFeat("item_id", n_items, embedding_dim)
+    cate_feat = SparseFeat("cate_id", n_cates, embedding_dim)
+    columns = [
+        SparseFeat("user_id", n_users, embedding_dim),
+        item_feat,
+        cate_feat,
+        VarLenSparseFeat(
+            SparseFeat("hist_item_id", n_items, embedding_dim,
+                       embedding_name="item_id"),
+            maxlen=seq_len, combiner="mean", length_name="hist_len"),
+        VarLenSparseFeat(
+            SparseFeat("hist_cate_id", n_cates, embedding_dim,
+                       embedding_name="cate_id"),
+            maxlen=seq_len, combiner="mean", length_name="hist_len"),
+    ]
+
+    def pack(rows):
+        rng.shuffle(rows)
+        hist = np.stack([r[3] for r in rows]).astype(np.int32)
+        item = np.asarray([r[1] for r in rows], np.int32)
+        X = {
+            "user_id": np.asarray([r[0] for r in rows], np.int32),
+            "item_id": item,
+            "cate_id": item_cate[item],
+            "hist_item_id": hist,
+            "hist_cate_id": item_cate[hist],
+            "hist_len": np.asarray([r[4] for r in rows], np.int32),
+        }
+        if negsample_hist:
+            neg = rng.integers(1, n_items, hist.shape).astype(np.int32)
+            neg = np.where(hist > 0, neg, 0)
+            X["neg_hist_item_id"] = neg
+            X["neg_hist_cate_id"] = item_cate[neg]
+        return X, np.asarray([r[2] for r in rows], np.float32)
+
+    if negsample_hist:
+        columns.append(VarLenSparseFeat(
+            SparseFeat("neg_hist_item_id", n_items, embedding_dim,
+                       embedding_name="item_id"),
+            maxlen=seq_len, combiner="mean", length_name="hist_len"))
+        columns.append(VarLenSparseFeat(
+            SparseFeat("neg_hist_cate_id", n_cates, embedding_dim,
+                       embedding_name="cate_id"),
+            maxlen=seq_len, combiner="mean", length_name="hist_len"))
+
+    X_train, y_train = pack(rows_train)
+    X_test, y_test = pack(rows_test)
+    return columns, X_train, y_train, X_test, y_test
+
+
+# ---------------------------------------------------------------------------
 # Toy / synthetic data
 # ---------------------------------------------------------------------------
 

@@ -52,3 +52,18 @@ def test_checkpoint_resume_continues(tmp_path):
 def test_unknown_model_raises():
     with pytest.raises(ValueError, match="unknown model"):
         run(_cfg(model="nope"))
+
+
+def test_run_avazu_and_amazon_paths(tmp_path):
+    from tests.test_data import _write_amazon_fixtures, _write_avazu_fixture
+
+    p = tmp_path / "avazu.csv"
+    _write_avazu_fixture(p)
+    result = run(_cfg(model="deepfm", dataset="avazu", data_path=str(p),
+                      hash_buckets=64, batch_size=16))
+    assert "auc" in result
+
+    rp, mp = _write_amazon_fixtures(tmp_path)
+    result = run(_cfg(model="din", dataset="amazon",
+                      data_path=f"{rp},{mp}", seq_len=8, batch_size=16))
+    assert "auc" in result

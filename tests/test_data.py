@@ -170,3 +170,127 @@ def test_vocab_precedence_over_hash(tmp_path):
     table = np.asarray(unpack_stack(variables["params"]["table_d4"], 16, 4))
     np.testing.assert_allclose(np.asarray(out.sparse["f"]), table[[1, 2]],
                                rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Avazu + Amazon loaders (BASELINE.json configs 3-4 datasets)
+# ---------------------------------------------------------------------------
+
+def _write_avazu_fixture(path, n=60):
+    from recommender_system_tpu.utils.datasets import AVAZU_SPARSE
+    rng = np.random.default_rng(0)
+    header = "id,click,hour," + ",".join(AVAZU_SPARSE)
+    lines = [header]
+    for i in range(n):
+        hour = f"1410{21 + i % 7:02d}{i % 24:02d}"
+        vals = [f"v{rng.integers(0, 9)}_{c}" for c in AVAZU_SPARSE]
+        lines.append(f"{i},{i % 2},{hour}," + ",".join(vals))
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_load_avazu(tmp_path):
+    from recommender_system_tpu.utils.datasets import AVAZU_SPARSE, load_avazu
+
+    p = tmp_path / "avazu.csv"
+    _write_avazu_fixture(p)
+    cols, Xtr, ytr, Xte, yte = load_avazu(str(p), hash_buckets=128)
+    assert len(cols) == len(AVAZU_SPARSE) + 2  # + hour_of_day, day_of_week
+    assert len(ytr) + len(yte) == 60 and len(yte) == 12
+    names = [c.name for c in cols]
+    assert "hour_of_day" in names and "day_of_week" in names
+    assert Xtr["hour_of_day"].min() >= 1 and Xtr["hour_of_day"].max() <= 24
+    assert Xtr["day_of_week"].min() >= 1 and Xtr["day_of_week"].max() <= 7
+    for c in AVAZU_SPARSE:
+        assert Xtr[c].min() >= 1 and Xtr[c].max() < 128
+    # deterministic reload
+    cols2, Xtr2, _, _, _ = load_avazu(str(p), hash_buckets=128)
+    np.testing.assert_array_equal(Xtr["site_id"], Xtr2["site_id"])
+
+
+def test_avazu_trains_deepfm(tmp_path):
+    import jax
+    import optax
+    from recommender_system_tpu.models import DeepFM
+    from recommender_system_tpu.training import Trainer
+    from recommender_system_tpu.utils.datasets import load_avazu
+
+    p = tmp_path / "avazu.csv"
+    _write_avazu_fixture(p)
+    cols, Xtr, ytr, _, _ = load_avazu(str(p), hash_buckets=64, embedding_dim=4)
+    model = DeepFM(tuple(cols), hidden_units=(16,))
+    trainer = Trainer(model, optimizer=optax.adam(1e-2))
+    batch = {k: jax.numpy.asarray(v) for k, v in Xtr.items()}
+    state = trainer.init(batch)
+    state, hist = trainer.fit(state, Xtr, ytr, batch_size=16, epochs=8)
+    assert hist["loss"][-1] < hist["loss"][0]
+
+
+def _write_amazon_fixtures(tmp_path, n_users=12, n_items=15):
+    import json
+    rng = np.random.default_rng(1)
+    reviews = []
+    t = 1_300_000_000
+    for u in range(n_users):
+        for k in range(int(rng.integers(3, 7))):
+            t += 100
+            reviews.append(json.dumps({
+                "reviewerID": f"U{u}", "asin": f"A{rng.integers(0, n_items)}",
+                "overall": 5.0, "unixReviewTime": t}))
+    rp = tmp_path / "reviews.json"
+    rp.write_text("\n".join(reviews) + "\n")
+    meta = [json.dumps({"asin": f"A{i}",
+                        "categories": [["Electronics", f"cat{i % 4}"]]})
+            for i in range(n_items)]
+    mp = tmp_path / "meta.json"
+    mp.write_text("\n".join(meta) + "\n")
+    return rp, mp
+
+
+def test_amazon_behavior_dataset(tmp_path):
+    from recommender_system_tpu.utils.datasets import \
+        build_amazon_behavior_dataset
+
+    rp, mp = _write_amazon_fixtures(tmp_path)
+    cols, Xtr, ytr, Xte, yte = build_amazon_behavior_dataset(
+        str(rp), str(mp), seq_len=8, embedding_dim=4)
+    names = [getattr(c, "name", None) for c in cols]
+    for want in ("user_id", "item_id", "cate_id",
+                 "hist_item_id", "hist_cate_id"):
+        assert want in names
+    # 1:1 positive/negative pairing
+    assert set(np.unique(ytr)) == {0.0, 1.0}
+    assert ytr.sum() * 2 == len(ytr)
+    assert Xtr["hist_item_id"].shape[1] == 8
+    # histories: padding id 0 beyond hist_len, and cate follows item via map
+    pos_mask = np.arange(8)[None] < Xtr["hist_len"][:, None]
+    assert (Xtr["hist_item_id"][~pos_mask] == 0).all()
+    assert (Xtr["hist_cate_id"][Xtr["hist_item_id"] == 0] == 0).all()
+    assert (Xtr["hist_cate_id"][Xtr["hist_item_id"] > 0] > 0).all()
+    # shared tables: hist features alias the target embedding tables
+    varlens = [c for c in cols if isinstance(c, VarLenSparseFeat)]
+    assert {v.embedding_name for v in varlens} == {"item_id", "cate_id"}
+
+
+def test_amazon_neg_hist_and_din(tmp_path):
+    import jax
+    import optax
+    from recommender_system_tpu.models import DIN
+    from recommender_system_tpu.training import Trainer
+    from recommender_system_tpu.utils.datasets import \
+        build_amazon_behavior_dataset
+
+    rp, mp = _write_amazon_fixtures(tmp_path)
+    cols, Xtr, ytr, _, _ = build_amazon_behavior_dataset(
+        str(rp), str(mp), seq_len=6, embedding_dim=4, negsample_hist=True)
+    assert "neg_hist_item_id" in Xtr and "neg_hist_cate_id" in Xtr
+    hist, neg = Xtr["hist_item_id"], Xtr["neg_hist_item_id"]
+    assert ((neg > 0) == (hist > 0)).all()
+
+    din_cols = tuple(c for c in cols
+                     if getattr(c, "name", "").startswith("neg_") is False)
+    model = DIN(din_cols, behavior_feature_list=("item_id", "cate_id"))
+    trainer = Trainer(model, optimizer=optax.adam(1e-2))
+    X = {k: v for k, v in Xtr.items() if not k.startswith("neg_")}
+    state = trainer.init({k: jax.numpy.asarray(v[:8]) for k, v in X.items()})
+    state, hist = trainer.fit(state, X, ytr, batch_size=16, epochs=6)
+    assert hist["loss"][-1] < hist["loss"][0]
