@@ -129,31 +129,15 @@ def packed_take(stack: jax.Array, rows: jax.Array, dim: int) -> jax.Array:
     narrow rows waste 16x; packed rows don't).
     """
     from ..ops import dispatch
-    from ..ops.embedding_grad import packed_take_fast
+    from ..ops.embedding_grad import _packed_take_impl, packed_take_fast
 
     P = pack_factor(dim)
     if dispatch.fast_scatter():
         return packed_take_fast(stack, rows, P, dim)
-    if P == 1:
-        return jax.lax.optimization_barrier(jnp.take(stack, rows, axis=0))
-    # barrier: keep the row gather a standalone HLO — fused into its
-    # consumers XLA loses the fast row-DMA lowering (traced fusion ran
-    # 1.77ms vs 0.45ms standalone at N=213k on v5e)
-    wide = jax.lax.optimization_barrier(
-        jnp.take(stack, rows // P, axis=0))            # [N, 128]
-    # lane select as (mask x wide) @ R — R[l, j] = 1 iff l % d == j. The
-    # reshape(-1, P, d).sum(1) form pays a lane->sublane relayout
-    # (~0.6 ms/step traced); the tiny MXU matmul doesn't.
-    lanes = jnp.arange(P * dim)
-    keep = (lanes[None, :] // dim) == (rows % P)[:, None]
-    picked = jnp.where(keep, wide[:, : P * dim], 0)
-    r_sel = (lanes[:, None] % dim) == jnp.arange(dim)[None, :]
-    # HIGHEST precision: stops XLA demoting this dot to bf16 and hoisting
-    # the f32->bf16 convert INTO the gather (traced: the bf16-output gather
-    # pays (16,128)-tile repacking per row, 1.73ms vs 0.45ms at N=213k)
-    return jnp.dot(picked, r_sel.astype(stack.dtype),
-                   preferred_element_type=stack.dtype,
-                   precision=jax.lax.Precision.HIGHEST)
+    # shared forward math: barrier'd row gather (keeps XLA's fast row-DMA
+    # emitter unfused) + one-pass P-way lane select — see
+    # ops/embedding_grad.py lane_select for the measured formulation notes
+    return _packed_take_impl(stack, rows, P, dim)
 
 
 def _stack_initializer(table_ranges, dim: int):

@@ -207,24 +207,42 @@ def scatter_add_dense_ref(ids, grads, num_rows):
 # packed_take with the fast backward
 # ---------------------------------------------------------------------------
 
+def lane_select(wide: jax.Array, slot: jax.Array, pack: int,
+                dim: int) -> jax.Array:
+    """Pick each row's d-lane group from a lane-packed wide row:
+    ``out[n, j] = wide[n, slot[n]*dim + j]``. [N, 128] -> [N, dim].
+
+    Formulation notes (all measured at N=426k, d=9, P=14 on v5e):
+    - mask + tiny MXU matmul (this impl): 0.67 + 0.32 ms. The mask pass
+      materializes a masked [N, 128] copy because the conv emitter cannot
+      input-fuse the select, but both passes run near HBM bandwidth.
+    - P-way select-add over ``wide[:, s*d:(s+1)*d]`` slices: 16 *unaligned*
+      lane slices per tile -> lane-rotate relayouts; regressed the DeepFM
+      step 2.4x. Do not revisit without checking Mosaic gets aligned slices.
+    - ``reshape(-1, P, d).sum(1)``: lane->sublane relayout, ~0.6 ms extra.
+    """
+    lanes = jnp.arange(pack * dim)
+    keep = (lanes[None, :] // dim) == slot[:, None]
+    picked = jnp.where(keep, wide[:, : pack * dim], 0)
+    r_sel = (lanes[:, None] % dim) == jnp.arange(dim)[None, :]
+    # HIGHEST precision keeps the dot f32 so XLA cannot hoist a bf16
+    # convert into the gather (the bf16-output row gather pays (16,128)-tile
+    # repacking per row: 1.73 vs 0.45ms at N=213k)
+    return jnp.dot(picked, r_sel.astype(wide.dtype),
+                   preferred_element_type=wide.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _packed_take_impl(stack: jax.Array, lids: jax.Array, pack: int,
                       dim: int) -> jax.Array:
     """Forward math shared with layers.embedding.packed_take."""
     if pack == 1:
         return jax.lax.optimization_barrier(jnp.take(stack, lids, axis=0))
-    # barrier keeps the gather unfused (fast row-DMA lowering); lane select
-    # via a tiny MXU matmul — see layers/embedding.py packed_take
+    # barrier keeps the gather unfused (fast row-DMA lowering) — fused into
+    # consumers XLA loses the row-gather emitter (1.77 vs 0.45ms at N=213k)
     wide = jax.lax.optimization_barrier(
         jnp.take(stack, lids // pack, axis=0))         # [N, 128]
-    lanes = jnp.arange(pack * dim)
-    keep = (lanes[None, :] // dim) == (lids % pack)[:, None]
-    picked = jnp.where(keep, wide[:, : pack * dim], 0)
-    r_sel = (lanes[:, None] % dim) == jnp.arange(dim)[None, :]
-    # HIGHEST precision keeps the dot f32 so XLA cannot hoist a bf16
-    # convert into the gather (see layers/embedding.py packed_take)
-    return jnp.dot(picked, r_sel.astype(stack.dtype),
-                   preferred_element_type=stack.dtype,
-                   precision=jax.lax.Precision.HIGHEST)
+    return lane_select(wide, lids % pack, pack, dim)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

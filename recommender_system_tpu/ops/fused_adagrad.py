@@ -183,14 +183,20 @@ def fused_adagrad_apply(
     # materialized exactly once (tail rows gather junk grads, but their
     # sids are SENTINEL so the kernel's onehot never matches them)
     order_p = jnp.pad(order, (0, n_pad - N))
-    sct = jnp.take(ct, order_p, axis=0)                   # [n_pad, dim]
+    # Lane-shift FIRST (batch order), reorder the wide rows after. The
+    # reorder gather is per-row-overhead bound (~3ns/row on v5e regardless of
+    # row width), but its operand layout decides the constant: gathering the
+    # narrow [N, d] cotangent reads the producer's column-major {0,1} layout
+    # at 2.25ms/427k rows, while the shift matmul's output is row-major bf16
+    # whose wide-row gather runs 1.28ms — and the separate post-reorder
+    # shift pass disappears into the pre-reorder matmul.
     if pack == 1:
-        sg_p = sct.astype(stream_dtype)
+        sg = ct.astype(stream_dtype)
         if L > dim:
-            sg_p = jnp.pad(sg_p, ((0, 0), (0, L - dim)))
+            sg = jnp.pad(sg, ((0, 0), (0, L - dim)))
     else:
-        slot_p = jnp.pad(slid, (0, n_pad - N)) % pack
-        sg_p = _lane_shift_matmul(sct, slot_p, pack, dim, stream_dtype)
+        sg = _lane_shift_matmul(ct, lids % pack, pack, dim, stream_dtype)
+    sg_p = jax.lax.optimization_barrier(jnp.take(sg, order_p, axis=0))
     sids_p = jnp.full((1, n_pad), _SENTINEL, jnp.int32).at[0, :N].set(swid)
     hyper = jnp.asarray([lr], jnp.float32)
 
