@@ -134,9 +134,8 @@ def packed_take(stack: jax.Array, rows: jax.Array, dim: int) -> jax.Array:
     P = pack_factor(dim)
     if dispatch.fast_scatter():
         return packed_take_fast(stack, rows, P, dim)
-    # shared forward math: barrier'd row gather (keeps XLA's fast row-DMA
-    # emitter unfused) + one-pass P-way lane select — see
-    # ops/embedding_grad.py lane_select for the measured formulation notes
+    # shared forward math: row gather + lane select (XLA output-fuses the
+    # select into the gather) — see ops/embedding_grad.py for measurements
     return _packed_take_impl(stack, rows, P, dim)
 
 

@@ -238,10 +238,11 @@ def _packed_take_impl(stack: jax.Array, lids: jax.Array, pack: int,
     """Forward math shared with layers.embedding.packed_take."""
     if pack == 1:
         return jax.lax.optimization_barrier(jnp.take(stack, lids, axis=0))
-    # barrier keeps the gather unfused (fast row-DMA lowering) — fused into
-    # consumers XLA loses the row-gather emitter (1.77 vs 0.45ms at N=213k)
-    wide = jax.lax.optimization_barrier(
-        jnp.take(stack, lids // pack, axis=0))         # [N, 128]
+    # NO barrier here: XLA output-fuses the lane select into the row gather,
+    # which removes the standalone mask pass entirely (bench 2.92 -> 3.20M
+    # ex/s). An earlier config needed a barrier to keep the fast row-gather
+    # emitter; re-measure before re-adding one.
+    wide = jnp.take(stack, lids // pack, axis=0)       # [N, 128]
     return lane_select(wide, lids % pack, pack, dim)
 
 

@@ -146,7 +146,7 @@ def fused_adagrad_apply(
     stack: jax.Array, acc: jax.Array, lids: jax.Array, ct: jax.Array,
     *, pack: int, dim: int, lr, eps: float = 1e-7,
     tile_rows: int = 512, chunk: int = 1024, stream_dtype=jnp.float32,
-    presorted=None,
+    presorted=None, reorder: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """In-place Adagrad on a lane-packed stack from a sparse update stream.
 
@@ -183,20 +183,42 @@ def fused_adagrad_apply(
     # materialized exactly once (tail rows gather junk grads, but their
     # sids are SENTINEL so the kernel's onehot never matches them)
     order_p = jnp.pad(order, (0, n_pad - N))
-    # Lane-shift FIRST (batch order), reorder the wide rows after. The
-    # reorder gather is per-row-overhead bound (~3ns/row on v5e regardless of
-    # row width), but its operand layout decides the constant: gathering the
-    # narrow [N, d] cotangent reads the producer's column-major {0,1} layout
-    # at 2.25ms/427k rows, while the shift matmul's output is row-major bf16
-    # whose wide-row gather runs 1.28ms — and the separate post-reorder
-    # shift pass disappears into the pre-reorder matmul.
-    if pack == 1:
-        sg = ct.astype(stream_dtype)
-        if L > dim:
-            sg = jnp.pad(sg, ((0, 0), (0, L - dim)))
+    # The cotangent reorder gather dominates this prep, and XLA compiles it
+    # differently in straight-line jit vs inside a lax.scan body, so the
+    # order of (reorder, lane-shift) is a measured PER-PATH choice
+    # (``reorder`` arg, DeepFM batch 8192 on v5e):
+    # - take_first: gather the narrow [N, d] cotangents (barrier'd; XLA's
+    #   {0,1}-layout lane-gather runs ~0.4ms/213k rows in straight-line jit),
+    #   then lane-shift. Single-step: 2,985us/step vs 4,449 shift-first.
+    #   Inside scan, bfloat16-propagation demotes this gather to bf16
+    #   col-major (2.25ms/427k rows) — even through the barrier.
+    # - shift_first: lane-shift in batch order (matmul output is row-major
+    #   bf16), then gather wide rows (1.28ms/427k, per-row bound). Scan
+    #   bench: 3.20M ex/s vs 2.48M take-first.
+    if reorder == "auto":
+        # measured rule (v5e): the narrow-cotangent lane-gather only wins in
+        # straight-line jit AND for strongly-packed stacks (d=8/9: 2,985 vs
+        # 4,449us DeepFM). At pack=4 (d=32, DIN) the wide-row reorder is
+        # cheaper even single-step (11,348 vs 13,090us).
+        reorder = "take_first" if pack >= 8 else "shift_first"
+    if reorder == "take_first":
+        sct = jax.lax.optimization_barrier(
+            jnp.take(ct, order_p, axis=0))                # [n_pad, dim]
+        if pack == 1:
+            sg_p = sct.astype(stream_dtype)
+            if L > dim:
+                sg_p = jnp.pad(sg_p, ((0, 0), (0, L - dim)))
+        else:
+            slot_p = jnp.pad(slid, (0, n_pad - N)) % pack
+            sg_p = _lane_shift_matmul(sct, slot_p, pack, dim, stream_dtype)
     else:
-        sg = _lane_shift_matmul(ct, lids % pack, pack, dim, stream_dtype)
-    sg_p = jax.lax.optimization_barrier(jnp.take(sg, order_p, axis=0))
+        if pack == 1:
+            sg = ct.astype(stream_dtype)
+            if L > dim:
+                sg = jnp.pad(sg, ((0, 0), (0, L - dim)))
+        else:
+            sg = _lane_shift_matmul(ct, lids % pack, pack, dim, stream_dtype)
+        sg_p = jax.lax.optimization_barrier(jnp.take(sg, order_p, axis=0))
     sids_p = jnp.full((1, n_pad), _SENTINEL, jnp.int32).at[0, :N].set(swid)
     hyper = jnp.asarray([lr], jnp.float32)
 

@@ -184,7 +184,7 @@ class Trainer:
         return batch, jax.device_put(np.asarray(labels), sh)
 
     # ------------------------------------------------------------------
-    def _make_fused_step_body(self):
+    def _make_fused_step_body(self, reorder: str = "take_first"):
         """Step body (unjitted) with the fused sparse embedding optimizer.
 
         The stacks never enter autodiff (their cotangents come from perturb
@@ -277,7 +277,7 @@ class Trainer:
                     stack, accs[path], lids, ct, pack=pack_factor(dim),
                     dim=dim, lr=lr, eps=cfg.eps,
                     stream_dtype=jnp.bfloat16 if dispatch.on_tpu()
-                    else jnp.float32, presorted=presorted)
+                    else jnp.float32, presorted=presorted, reorder=reorder)
 
             new_state = state.replace(
                 params=_merge_stack_params(new_rest, new_stacks),
@@ -289,11 +289,16 @@ class Trainer:
         return _train_step
 
     # ------------------------------------------------------------------
-    def _make_step_body(self):
+    def _make_step_body(self, in_scan: bool = False):
         """The single-step body (state, batch, labels) -> (state, loss),
-        unjitted — shared by the jitted step and the scanned multi-step."""
+        unjitted — shared by the jitted step and the scanned multi-step.
+
+        ``in_scan`` picks the fused optimizer's cotangent-reorder order:
+        XLA compiles the reorder gather differently inside a ``lax.scan``
+        body than in straight-line jit (see ``fused_adagrad_apply``)."""
         if self.fused_embedding is not None:
-            return self._make_fused_step_body()
+            return self._make_fused_step_body(
+                reorder="shift_first" if in_scan else "auto")
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
 
         def _train_step(state: TrainState, batch, labels):
@@ -357,7 +362,7 @@ class Trainer:
         every step. The TPU-native analogue of the reference's inner
         ``model.fit`` batching loop (``utils/compile_fit.py:14``).
         """
-        body = self._make_step_body()
+        body = self._make_step_body(in_scan=True)
 
         @partial(jax.jit, donate_argnums=(0,))
         def multi(state, batches, labels):
