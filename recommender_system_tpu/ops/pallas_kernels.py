@@ -294,9 +294,19 @@ def din_attention_ref(query, keys, mask, w1, b1, w2, b2, w3, b3,
         act = jax.nn.relu
     else:
         raise ValueError(activation)
-    q = jnp.broadcast_to(query[:, None, :], keys.shape)
-    att_in = jnp.concatenate([q, keys, q - keys, q * keys], axis=-1)
-    h = act(jnp.dot(att_in, w1, preferred_element_type=jnp.float32) + b1)
+    # Concat-folded first layer: with w1 = [wq; wk; wm; wp] (4K x h1),
+    #   concat([q, k, q-k, q*k]) @ w1
+    #     == q @ (wq + wm)  +  k @ (wk - wm)  +  (q*k) @ wp
+    # exactly — so the [B, T, 4K] concat (210 MB at B=8192, T=50, K=32,
+    # plus its cotangent) is never materialized. The query term is [B, h1]
+    # broadcast over T.
+    K = keys.shape[-1]
+    wq, wk, wm, wp = w1[:K], w1[K:2 * K], w1[2 * K:3 * K], w1[3 * K:]
+    h_pre = (jnp.dot(query, wq + wm, preferred_element_type=jnp.float32)[:, None, :]
+             + jnp.dot(keys, wk - wm, preferred_element_type=jnp.float32)
+             + jnp.dot(query[:, None, :] * keys, wp,
+                       preferred_element_type=jnp.float32))
+    h = act(h_pre + b1)
     h = act(jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2)
     score = (jnp.dot(h, w3, preferred_element_type=jnp.float32) + b3)[..., 0]
     valid = mask

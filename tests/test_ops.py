@@ -136,3 +136,35 @@ def test_masked_softmax_zeroes_invalid():
     p = np.asarray(masked_softmax(scores, mask))
     assert p[0, 2] < 1e-6
     np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-6)
+
+
+def test_din_attention_concat_folding_exact():
+    """The folded first layer must equal the naive tile+concat MLP exactly
+    (it is the same linear map): guards ops/pallas_kernels.py din_attention_ref."""
+    import jax
+    import jax.numpy as jnp
+    from recommender_system_tpu.ops.pallas_kernels import din_attention_ref
+
+    rng = np.random.default_rng(3)
+    B, T, K, h1, h2 = 16, 10, 8, 20, 12
+    query = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    keys = jnp.asarray(rng.standard_normal((B, T, K)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(B, T)) > 0.3)
+    w1 = jnp.asarray(rng.standard_normal((4 * K, h1)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(h1) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((h1, h2)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(h2) * 0.1, jnp.float32)
+    w3 = jnp.asarray(rng.standard_normal((h2, 1)) * 0.1, jnp.float32)
+    b3 = jnp.asarray(rng.standard_normal(1) * 0.1, jnp.float32)
+
+    got = din_attention_ref(query, keys, mask, w1, b1, w2, b2, w3, b3)
+
+    q = jnp.broadcast_to(query[:, None, :], keys.shape)
+    att_in = jnp.concatenate([q, keys, q - keys, q * keys], axis=-1)
+    h = jax.nn.sigmoid(att_in @ w1 + b1)
+    h = jax.nn.sigmoid(h @ w2 + b2)
+    score = (h @ w3 + b3)[..., 0]
+    score = jax.nn.softmax(jnp.where(mask, score, -2.0 ** 31), axis=-1)
+    want = jnp.einsum("bt,btk->bk", score, keys)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
