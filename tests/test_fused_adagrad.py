@@ -90,3 +90,37 @@ def test_duplicate_ids_presummed():
     np.testing.assert_allclose(np.asarray(new_acc[3]), 9.0, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(new_stack[3]), -1.0, rtol=1e-3)
     np.testing.assert_array_equal(np.asarray(new_stack[4]), 0.0)
+
+
+@pytest.mark.parametrize("pack,dim", [(14, 9), (4, 32), (1, 128)])
+def test_reorder_modes_identical(pack, dim):
+    """The cotangent-reorder order (fused_adagrad_apply(reorder=...)) is a
+    pure layout/scheduling choice — the permutation commutes with the lane
+    shift, so all modes must agree bit-for-bit, and match the dense
+    reference on bf16-pre-rounded cotangents."""
+    rng = np.random.default_rng(42)
+    rows, n, L = 128, 257, 128
+    stack = jnp.asarray(rng.normal(size=(rows, L)).astype(np.float32))
+    acc = jnp.full((rows, L), 0.1, jnp.float32)
+    lids = jnp.asarray(rng.integers(0, rows * pack, size=n, dtype=np.int32))
+    ct = jnp.asarray(rng.normal(size=(n, dim)).astype(np.float32))
+
+    outs = {}
+    for reorder in ("take_first", "shift_first", "auto"):
+        outs[reorder] = jax.jit(
+            lambda s, a, i, c, r=reorder: fused_adagrad_apply(
+                s, a, i, c, pack=pack, dim=dim, lr=0.05, eps=1e-7,
+                tile_rows=64, chunk=128, reorder=r))(stack, acc, lids, ct)
+    for mode in ("shift_first", "auto"):
+        np.testing.assert_array_equal(np.asarray(outs["take_first"][0]),
+                                      np.asarray(outs[mode][0]))
+        np.testing.assert_array_equal(np.asarray(outs["take_first"][1]),
+                                      np.asarray(outs[mode][1]))
+
+    ct_rounded = ct.astype(jnp.bfloat16).astype(jnp.float32)
+    ref_stack, ref_acc = fused_adagrad_ref(
+        stack, acc, lids, ct_rounded, pack=pack, dim=dim, lr=0.05, eps=1e-7)
+    np.testing.assert_allclose(np.asarray(outs["auto"][0]),
+                               np.asarray(ref_stack), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs["auto"][1]),
+                               np.asarray(ref_acc), rtol=1e-4, atol=1e-5)
