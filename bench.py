@@ -52,7 +52,9 @@ def main():
     labels = jnp.asarray(np.stack(labels_list))
     batch0 = {k: v[0] for k, v in batches.items()}
 
-    model = DeepFM(tuple(cols), hidden_units=HIDDEN)
+    # bf16 deep-tower compute (params/logits f32): +8%% step, AUC parity
+    # within run variance on the Criteo sample (BASELINE.md)
+    model = DeepFM(tuple(cols), hidden_units=HIDDEN, dnn_dtype=jnp.bfloat16)
     trainer = Trainer(model, optimizer=optax.adagrad(0.05),
                       fused_embedding=FusedAdagrad(learning_rate=0.05))
     state = trainer.init(batch0)

@@ -10,7 +10,7 @@ Flax-linen redesign of the reference's Keras blocks:
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Union
+from typing import Any, Callable, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -86,11 +86,16 @@ class DNN(nn.Module):
     output_dim: Optional[int] = None
     output_activation: Optional[str] = None
     kernel_init: Callable = nn.initializers.glorot_uniform()
+    # compute dtype for the Dense layers (params stay f32). 'bfloat16'
+    # halves the tower's HBM activation traffic on TPU; the output head
+    # always accumulates/returns f32.
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, units in enumerate(self.hidden_units):
-            x = nn.Dense(units, kernel_init=self.kernel_init, name=f"dense_{i}")(x)
+            x = nn.Dense(units, kernel_init=self.kernel_init, dtype=self.dtype,
+                         name=f"dense_{i}")(x)
             if self.use_bn:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  name=f"bn_{i}")(x)
@@ -104,9 +109,9 @@ class DNN(nn.Module):
                 x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         if self.output_dim is not None:
             x = nn.Dense(self.output_dim, kernel_init=self.kernel_init,
-                         name="output")(x)
+                         name="output")(x.astype(jnp.float32))
             x = activation_fn(self.output_activation)(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class PredictionLayer(nn.Module):

@@ -10,7 +10,7 @@ north-star names. Output logit = linear + fm + deep.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -26,6 +26,9 @@ class DeepFM(nn.Module):
     hidden_units: Sequence[int] = (256, 128, 64)
     activation: str = "relu"
     dropout_rate: float = 0.0
+    # compute dtype for the deep tower ('bfloat16' halves its HBM activation
+    # traffic on TPU; logits/loss stay f32)
+    dnn_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -43,5 +46,5 @@ class DeepFM(nn.Module):
             deep_in = jnp.concatenate([deep_in, emb.dense], axis=-1)
         deep_logit = DNN(self.hidden_units, activation=self.activation,
                          dropout_rate=self.dropout_rate, output_dim=1,
-                         name="deep")(deep_in, train=train)
+                         dtype=self.dnn_dtype, name="deep")(deep_in, train=train)
         return linear + fm_logit + deep_logit  # logits [B, 1]
