@@ -39,6 +39,9 @@ class ExperimentConfig:
     # dssm retrieval loss: 'inbatch' (sampled softmax w/ log-Q) or 'logistic'
     # (inner-product BCE vs labels — reference loss_type, model/dssm.py:73-78)
     dssm_loss: str = "inbatch"
+    # deep-tower compute dtype: None (f32) or 'bfloat16' (params stay f32;
+    # measured +8% DeepFM step on v5e at AUC parity — BASELINE.md)
+    dnn_dtype: Optional[str] = None
 
     # parallelism (None = single device)
     mesh_data: Optional[int] = None

@@ -8,7 +8,7 @@ intended topology). Cross stack runs as a ``lax.scan``
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Any, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -25,6 +25,8 @@ class DCN(nn.Module):
     hidden_units: Sequence[int] = (256, 128, 64)
     activation: str = "relu"
     dropout_rate: float = 0.0
+    # deep-tower compute dtype ('bfloat16' on TPU; params/logits stay f32)
+    dnn_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -32,6 +34,7 @@ class DCN(nn.Module):
         x0 = emb.concat_flat()
         cross_out = CrossNet(self.cross_layers, name="cross")(x0)
         deep_out = DNN(self.hidden_units, activation=self.activation,
+                       dtype=self.dnn_dtype,
                        dropout_rate=self.dropout_rate, name="deep")(x0, train=train)
         concat = jnp.concatenate([cross_out, deep_out], axis=-1)
         return nn.Dense(1, name="head")(concat)  # logits [B, 1]

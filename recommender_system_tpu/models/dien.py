@@ -20,7 +20,7 @@ Batch keys: target sparse feats, ``hist_<name>`` varlen history, optional
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +59,8 @@ class DIEN(nn.Module):
     hidden_units: Sequence[int] = (256, 128, 64)
     activation: str = "relu"
     dropout_rate: float = 0.0
+    # deep-tower compute dtype ('bfloat16' on TPU; params/logits stay f32)
+    dnn_dtype: Optional[Any] = None
     use_negsampling: bool = False
 
     @nn.compact
@@ -123,6 +125,7 @@ class DIEN(nn.Module):
             parts.append(emb.dense)
         x = jnp.concatenate(parts, axis=-1)
         logit = DNN(self.hidden_units, activation=self.activation,
+                    dtype=self.dnn_dtype,
                     dropout_rate=self.dropout_rate, output_dim=1,
                     name="deep")(x, train=train)
         logit = PredictionLayer(name="prediction")(logit, logits=True)

@@ -8,7 +8,7 @@ pooling live in ``layers.sequence.DinAttention`` (Pallas-fusable).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Any, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -27,6 +27,8 @@ class DIN(nn.Module):
     hidden_units: Sequence[int] = (256, 128, 64)
     activation: str = "dice"
     dropout_rate: float = 0.0
+    # deep-tower compute dtype ('bfloat16' on TPU; params/logits stay f32)
+    dnn_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -53,5 +55,6 @@ class DIN(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          name="bn")(x)
         return DNN(self.hidden_units, activation=self.activation,
+                   dtype=self.dnn_dtype,
                    dropout_rate=self.dropout_rate, output_dim=1,
                    name="deep")(x, train=train)  # logits [B, 1]

@@ -9,7 +9,7 @@ export entry points for ANN retrieval (parity: ``model/dssm.py:158-163``).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -35,13 +35,17 @@ class DSSM(nn.Module):
     item_hidden_units: Sequence[int] = (64, 32)
     embedding_l2_normalize: bool = True
     temperature: float = 0.05
+    # tower compute dtype ('bfloat16' on TPU; params/embeddings stay f32)
+    dnn_dtype: Optional[Any] = None
 
     def setup(self):
         self.embeddings = EmbeddingCollection(
             tuple(self.user_columns) + tuple(self.item_columns))
         self.user_dnn = DNN(self.user_hidden_units, activation="relu",
+                            dtype=self.dnn_dtype,
                             name="user_tower")
         self.item_dnn = DNN(self.item_hidden_units, activation="relu",
+                            dtype=self.dnn_dtype,
                             name="item_tower")
 
     def _normalize(self, x):

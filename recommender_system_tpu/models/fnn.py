@@ -8,7 +8,7 @@ the handoff is a literal param copy — see ``init_from_fm``.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -23,11 +23,14 @@ class FNN(nn.Module):
     hidden_units: Sequence[int] = (256, 128, 64)
     activation: str = "relu"
     dropout_rate: float = 0.0
+    # deep-tower compute dtype ('bfloat16' on TPU; params/logits stay f32)
+    dnn_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
         emb = EmbeddingCollection(self.feature_columns, name="embeddings")(batch)
         return DNN(self.hidden_units, activation=self.activation,
+                   dtype=self.dnn_dtype,
                    dropout_rate=self.dropout_rate, output_dim=1,
                    name="deep")(emb.concat_flat(), train=train)  # logits [B, 1]
 

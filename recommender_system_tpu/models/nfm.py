@@ -6,7 +6,7 @@ dense -> BatchNorm -> DNN -> Dense(1).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Any, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -22,6 +22,8 @@ class NFM(nn.Module):
     hidden_units: Sequence[int] = (256, 128, 64)
     activation: str = "relu"
     dropout_rate: float = 0.0
+    # deep-tower compute dtype ('bfloat16' on TPU; params/logits stay f32)
+    dnn_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -32,5 +34,6 @@ class NFM(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          name="bn")(pooled)
         return DNN(self.hidden_units, activation=self.activation,
+                   dtype=self.dnn_dtype,
                    dropout_rate=self.dropout_rate, output_dim=1,
                    name="deep")(x, train=train)  # logits [B, 1]

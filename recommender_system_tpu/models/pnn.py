@@ -7,7 +7,7 @@ then the deep tower. ``mode``: 'inner' | 'outer' | 'both'.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Any, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -26,6 +26,8 @@ class PNN(nn.Module):
     hidden_units: Sequence[int] = (256, 128, 64)
     activation: str = "relu"
     dropout_rate: float = 0.0
+    # deep-tower compute dtype ('bfloat16' on TPU; params/logits stay f32)
+    dnn_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -45,5 +47,6 @@ class PNN(nn.Module):
             parts.append(emb.dense)
         x = jnp.concatenate(parts, axis=-1)
         return DNN(self.hidden_units, activation=self.activation,
+                   dtype=self.dnn_dtype,
                    dropout_rate=self.dropout_rate, output_dim=1,
                    name="deep")(x, train=train)  # logits [B, 1]

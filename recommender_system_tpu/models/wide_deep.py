@@ -8,7 +8,7 @@ the two logits are summed (equivalent up to a constant scale).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Any, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -23,12 +23,15 @@ class WideDeep(nn.Module):
     hidden_units: Sequence[int] = (256, 128, 64)
     activation: str = "relu"
     dropout_rate: float = 0.0
+    # deep-tower compute dtype ('bfloat16' on TPU; params/logits stay f32)
+    dnn_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
         # wide (linear) weights live in an extra lane of the deep embeddings
         emb, wide = UnifiedEmbedding(self.feature_columns, name="unified")(batch)
         deep = DNN(self.hidden_units, activation=self.activation,
+                   dtype=self.dnn_dtype,
                    dropout_rate=self.dropout_rate, output_dim=1,
                    name="deep")(emb.concat_flat(), train=train)
         return 0.5 * (wide + deep)  # logits [B, 1]

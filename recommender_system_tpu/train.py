@@ -118,6 +118,14 @@ def build_model(config: ExperimentConfig, columns):
 
     kwargs = dict(config.model_kwargs)
     name = config.model
+    if config.dnn_dtype and name not in ("lr", "cf", "mf", "lstm",
+                                         "transformer", "fm", "ffm", "afm",
+                                         "deep_crossing"):
+        import jax.numpy as jnp
+
+        kwargs.setdefault("dnn_dtype",
+                          jnp.dtype(config.dnn_dtype).type
+                          if config.dnn_dtype != "bfloat16" else jnp.bfloat16)
     if name == "mmoe":
         return M.MMOE(feature_columns=tuple(columns),
                       tower_hidden_units=tuple(config.hidden_units[-1:]),
@@ -263,6 +271,9 @@ def parse_args(argv=None) -> ExperimentConfig:
     p.add_argument("--seed", type=int, default=defaults.seed)
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--dnn-dtype", default=defaults.dnn_dtype,
+                   choices=[None, "bfloat16"],
+                   help="deep-tower compute dtype (params stay f32)")
     p.add_argument("--dssm-loss", default=defaults.dssm_loss,
                    choices=["inbatch", "logistic"])
     p.add_argument("--checkpoint-dir", default=None)
@@ -277,7 +288,7 @@ def parse_args(argv=None) -> ExperimentConfig:
         hidden_units=tuple(args.hidden_units), batch_size=args.batch_size,
         epochs=args.epochs, learning_rate=args.learning_rate,
         optimizer=args.optimizer, weight_decay=args.weight_decay,
-        seed=args.seed, dssm_loss=args.dssm_loss,
+        seed=args.seed, dssm_loss=args.dssm_loss, dnn_dtype=args.dnn_dtype,
         mesh_data=args.mesh_data, mesh_model=args.mesh_model,
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         profile_dir=args.profile_dir, log_every=args.log_every)

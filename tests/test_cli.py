@@ -67,3 +67,10 @@ def test_run_avazu_and_amazon_paths(tmp_path):
     result = run(_cfg(model="din", dataset="amazon",
                       data_path=f"{rp},{mp}", seq_len=8, batch_size=16))
     assert "auc" in result
+
+
+def test_dnn_dtype_bf16_runs():
+    result = run(_cfg(model="deepfm", dnn_dtype="bfloat16"))
+    assert "auc" in result and np.isfinite(result["logloss"])
+    cfg = parse_args(["--model", "dcn", "--dnn-dtype", "bfloat16"])
+    assert cfg.dnn_dtype == "bfloat16"
