@@ -42,6 +42,10 @@ class ExperimentConfig:
     # deep-tower compute dtype: None (f32) or 'bfloat16' (params stay f32;
     # measured +8% DeepFM step on v5e at AUC parity — BASELINE.md)
     dnn_dtype: Optional[str] = None
+    # fused sparse embedding optimizer (in-place Pallas scatter kernel, the
+    # production path — ops/fused_adagrad.py): None | 'adagrad' | 'sgd' |
+    # 'adam' (lazy). Uses learning_rate; single-device only (see Trainer).
+    fused_embedding: Optional[str] = None
 
     # parallelism (None = single device)
     mesh_data: Optional[int] = None

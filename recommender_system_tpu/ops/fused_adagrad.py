@@ -142,28 +142,14 @@ def _fused_adagrad_kernel(wsub_ref, wchunk_ref, hyper_ref, sids_ref,
         param_out_ref[:] = param_ref[:] - lr * g * inv
 
 
-def fused_adagrad_apply(
-    stack: jax.Array, acc: jax.Array, lids: jax.Array, ct: jax.Array,
-    *, pack: int, dim: int, lr, eps: float = 1e-7,
-    tile_rows: int = 512, chunk: int = 1024, stream_dtype=jnp.float32,
-    presorted=None, reorder: str = "auto",
-) -> Tuple[jax.Array, jax.Array]:
-    """In-place Adagrad on a lane-packed stack from a sparse update stream.
-
-    stack/acc ``[rows, L]`` f32 (L=128 lane-packed, or =dim unpacked),
-    lids ``[N]`` logical row ids, ct ``[N, dim]`` cotangents, lr scalar.
-    ``presorted``: optional ``(slid, order)`` from ``ops.stream_sort``
-    (sorted logical ids + permutation) — skips the generic pair sort.
-    Returns (new_stack, new_acc); the inputs are aliased (donated).
-    Exactly matches ``optax.adagrad`` applied to the dense scatter-added
-    gradient (duplicates pre-summed per row before squaring).
-    """
+def _prep_update_stream(stack, lids, ct, *, pack, dim, tile_rows, chunk,
+                        stream_dtype, presorted, reorder):
+    """Shared prep for every fused sparse optimizer: sort ids, build the
+    (subtile, chunk) work queue, reorder + lane-shift cotangents into the
+    padded sorted stream. Returns
+    (w_sub, w_chunk, W, n_sub, pad_chunk, sids_p, sg_p, tile_rows)."""
     N = lids.shape[0]
     num_rows, L = stack.shape
-    if L % 128 != 0 or num_rows % 64 != 0:
-        # odd-width unpacked tables: no clean Pallas tiling — XLA fallback
-        return fused_adagrad_ref(stack, acc, lids, ct, pack=pack, dim=dim,
-                                 lr=lr, eps=eps)
     tile_rows = _choose_tile_rows(num_rows, tile_rows)
 
     if presorted is not None:
@@ -220,12 +206,33 @@ def fused_adagrad_apply(
             sg = _lane_shift_matmul(ct, lids % pack, pack, dim, stream_dtype)
         sg_p = jax.lax.optimization_barrier(jnp.take(sg, order_p, axis=0))
     sids_p = jnp.full((1, n_pad), _SENTINEL, jnp.int32).at[0, :N].set(swid)
-    hyper = jnp.asarray([lr], jnp.float32)
+    return w_sub, w_chunk, W, n_sub, pad_chunk, sids_p, sg_p, tile_rows
+
+
+def _run_fused_kernel(kernel_body, hyper_vals, stack, states, lids, ct, *,
+                      pack, dim, tile_rows, chunk, stream_dtype, presorted,
+                      reorder, extra_static):
+    """Drive one fused sparse-optimizer Pallas kernel.
+
+    ``states``: tuple of per-row state arrays shaped like ``stack`` (Adagrad
+    acc, Adam m/v, SGD none) — all updated in place (aliased) alongside the
+    params. Returns (new_stack, *new_states).
+    """
+    num_rows, L = stack.shape
+    (w_sub, w_chunk, W, n_sub, pad_chunk, sids_p, sg_p, tile_rows) = \
+        _prep_update_stream(stack, lids, ct, pack=pack, dim=dim,
+                            tile_rows=tile_rows, chunk=chunk,
+                            stream_dtype=stream_dtype, presorted=presorted,
+                            reorder=reorder)
+    hyper = jnp.asarray(hyper_vals, jnp.float32)
+    n_pad = sids_p.shape[1]
+    n_bufs = 1 + len(states)
 
     kernel = functools.partial(
-        _fused_adagrad_kernel, tile_rows=tile_rows, chunk=chunk, W=W,
-        pad_chunk=pad_chunk, eps=eps)
-    new_stack, new_acc = pl.pallas_call(
+        kernel_body, tile_rows=tile_rows, chunk=chunk, W=W,
+        pad_chunk=pad_chunk, **extra_static)
+    tile_spec = lambda w, ws, wc, hy: (ws[w], 0)  # noqa: E731
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # w_sub, w_chunk, hyper
@@ -233,31 +240,53 @@ def fused_adagrad_apply(
             in_specs=[
                 pl.BlockSpec((1, chunk), lambda w, ws, wc, hy: (0, wc[w])),
                 pl.BlockSpec((chunk, L), lambda w, ws, wc, hy: (wc[w], 0)),
-                pl.BlockSpec((tile_rows, L), lambda w, ws, wc, hy: (ws[w], 0)),
-                pl.BlockSpec((tile_rows, L), lambda w, ws, wc, hy: (ws[w], 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((tile_rows, L), lambda w, ws, wc, hy: (ws[w], 0)),
-                pl.BlockSpec((tile_rows, L), lambda w, ws, wc, hy: (ws[w], 0)),
-            ],
+            ] + [pl.BlockSpec((tile_rows, L), tile_spec)] * n_bufs,
+            out_specs=[pl.BlockSpec((tile_rows, L), tile_spec)] * n_bufs,
             scratch_shapes=[pltpu.VMEM((tile_rows, L), jnp.float32)],
         ),
-        out_shape=[jax.ShapeDtypeStruct((num_rows, L), jnp.float32),
-                   jax.ShapeDtypeStruct((num_rows, L), jnp.float32)],
-        input_output_aliases={5: 0, 6: 1},  # param->out0, acc->out1 in-place
+        out_shape=[jax.ShapeDtypeStruct((num_rows, L), jnp.float32)] * n_bufs,
+        # param/state buffers update in place
+        input_output_aliases={5 + i: i for i in range(n_bufs)},
         interpret=dispatch.interpret_mode(),
         cost_estimate=pl.CostEstimate(
             flops=2 * W * tile_rows * chunk * L,
             bytes_accessed=2 * n_pad * L + 4 * n_pad
-            + 4 * 4 * n_sub * tile_rows * L,
+            + 4 * 2 * n_bufs * n_sub * tile_rows * L,
             transcendentals=W * tile_rows * L,
         ),
-    )(w_sub, w_chunk, hyper, sids_p, sg_p, stack, acc)
-    return new_stack, new_acc
+    )(w_sub, w_chunk, hyper, sids_p, sg_p, stack, *states)
+    return tuple(outs)
 
 
-def fused_adagrad_ref(stack, acc, lids, ct, *, pack, dim, lr, eps=1e-7):
-    """XLA reference: dense scatter-add + optax-exact Adagrad (tests)."""
+def fused_adagrad_apply(
+    stack: jax.Array, acc: jax.Array, lids: jax.Array, ct: jax.Array,
+    *, pack: int, dim: int, lr, eps: float = 1e-7,
+    tile_rows: int = 512, chunk: int = 1024, stream_dtype=jnp.float32,
+    presorted=None, reorder: str = "auto",
+) -> Tuple[jax.Array, jax.Array]:
+    """In-place Adagrad on a lane-packed stack from a sparse update stream.
+
+    stack/acc ``[rows, L]`` f32 (L=128 lane-packed, or =dim unpacked),
+    lids ``[N]`` logical row ids, ct ``[N, dim]`` cotangents, lr scalar.
+    ``presorted``: optional ``(slid, order)`` from ``ops.stream_sort``
+    (sorted logical ids + permutation) — skips the generic pair sort.
+    Returns (new_stack, new_acc); the inputs are aliased (donated).
+    Exactly matches ``optax.adagrad`` applied to the dense scatter-added
+    gradient (duplicates pre-summed per row before squaring).
+    """
+    num_rows, L = stack.shape
+    if L % 128 != 0 or num_rows % 64 != 0:
+        # odd-width unpacked tables: no clean Pallas tiling — XLA fallback
+        return fused_adagrad_ref(stack, acc, lids, ct, pack=pack, dim=dim,
+                                 lr=lr, eps=eps)
+    return _run_fused_kernel(
+        _fused_adagrad_kernel, [lr], stack, (acc,), lids, ct, pack=pack,
+        dim=dim, tile_rows=tile_rows, chunk=chunk, stream_dtype=stream_dtype,
+        presorted=presorted, reorder=reorder, extra_static={"eps": eps})
+
+
+def _dense_row_grad(stack, lids, ct, pack, dim):
+    """Scatter-added dense row gradient [rows, L] (shared by the refs)."""
     num_rows, L = stack.shape
     if pack == 1:
         sg = ct.astype(jnp.float32)
@@ -267,7 +296,163 @@ def fused_adagrad_ref(stack, acc, lids, ct, *, pack, dim, lr, eps=1e-7):
     else:
         wid = lids // pack
         sg = _lane_shift(ct, lids % pack, pack, dim)
-    g = jnp.zeros((num_rows, L), jnp.float32).at[wid].add(sg)
+    return jnp.zeros((num_rows, L), jnp.float32).at[wid].add(sg)
+
+
+def fused_adagrad_ref(stack, acc, lids, ct, *, pack, dim, lr, eps=1e-7):
+    """XLA reference: dense scatter-add + optax-exact Adagrad (tests)."""
+    g = _dense_row_grad(stack, lids, ct, pack, dim)
     new_acc = acc + g * g
     inv = jnp.where(new_acc > 0, jax.lax.rsqrt(new_acc + eps), 0.0)
     return stack - lr * g * inv, new_acc
+
+
+# ---------------------------------------------------------------------------
+# Fused sparse SGD
+# ---------------------------------------------------------------------------
+
+def _fused_sgd_kernel(wsub_ref, wchunk_ref, hyper_ref, sids_ref, sgrads_ref,
+                      param_ref, param_out_ref, gacc,
+                      *, tile_rows: int, chunk: int, W: int, pad_chunk: int):
+    w = pl.program_id(0)
+    sub = wsub_ref[w]
+    prev = wsub_ref[jnp.maximum(w - 1, 0)]
+
+    @pl.when((w == 0) | (prev != sub))
+    def _zero():
+        gacc[:] = jnp.zeros_like(gacc)
+
+    @pl.when(wchunk_ref[w] != pad_chunk)
+    def _accumulate():
+        base = sub * tile_rows
+        local = sids_ref[0, :] - base
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, chunk), 0)
+        onehot = jnp.where(row_iota == local[None, :], jnp.float32(1),
+                           jnp.float32(0)).astype(jnp.bfloat16)
+        gacc[:] += jnp.dot(onehot, sgrads_ref[:].astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+
+    nxt = wsub_ref[jnp.minimum(w + 1, W - 1)]
+
+    @pl.when((w == W - 1) | (nxt != sub))
+    def _apply():
+        param_out_ref[:] = param_ref[:] - hyper_ref[0] * gacc[:]
+
+
+def fused_sgd_apply(
+    stack: jax.Array, lids: jax.Array, ct: jax.Array,
+    *, pack: int, dim: int, lr,
+    tile_rows: int = 512, chunk: int = 1024, stream_dtype=jnp.float32,
+    presorted=None, reorder: str = "auto",
+) -> Tuple[jax.Array]:
+    """In-place SGD: ``param[row] -= lr * sum(grads of that row)``. Matches
+    ``optax.sgd`` on the dense scatter-added gradient (the reference's
+    training recipe, ``utils/compile_fit.py:12``). Returns ``(new_stack,)``.
+    """
+    num_rows, L = stack.shape
+    if L % 128 != 0 or num_rows % 64 != 0:
+        return fused_sgd_ref(stack, lids, ct, pack=pack, dim=dim, lr=lr)
+    return _run_fused_kernel(
+        _fused_sgd_kernel, [lr], stack, (), lids, ct, pack=pack, dim=dim,
+        tile_rows=tile_rows, chunk=chunk, stream_dtype=stream_dtype,
+        presorted=presorted, reorder=reorder, extra_static={})
+
+
+def fused_sgd_ref(stack, lids, ct, *, pack, dim, lr):
+    g = _dense_row_grad(stack, lids, ct, pack, dim)
+    return (stack - lr * g,)
+
+
+# ---------------------------------------------------------------------------
+# Fused sparse (lazy) Adam
+# ---------------------------------------------------------------------------
+
+def _fused_adam_kernel(wsub_ref, wchunk_ref, hyper_ref, sids_ref, sgrads_ref,
+                       param_ref, m_ref, v_ref,
+                       param_out_ref, m_out_ref, v_out_ref, gacc,
+                       *, tile_rows: int, chunk: int, W: int, pad_chunk: int,
+                       b1: float, b2: float, eps: float):
+    w = pl.program_id(0)
+    sub = wsub_ref[w]
+    prev = wsub_ref[jnp.maximum(w - 1, 0)]
+
+    @pl.when((w == 0) | (prev != sub))
+    def _zero():
+        gacc[:] = jnp.zeros_like(gacc)
+
+    @pl.when(wchunk_ref[w] != pad_chunk)
+    def _accumulate():
+        base = sub * tile_rows
+        local = sids_ref[0, :] - base
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, chunk), 0)
+        onehot = jnp.where(row_iota == local[None, :], jnp.float32(1),
+                           jnp.float32(0)).astype(jnp.bfloat16)
+        gacc[:] += jnp.dot(onehot, sgrads_ref[:].astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+
+    nxt = wsub_ref[jnp.minimum(w + 1, W - 1)]
+
+    @pl.when((w == W - 1) | (nxt != sub))
+    def _apply():
+        g = gacc[:]
+        lr, bc1, bc2 = hyper_ref[0], hyper_ref[1], hyper_ref[2]
+        # LAZY Adam: only rows that received a gradient this step update
+        # their moments/params (TF LazyAdamOptimizer semantics) — a dense
+        # optax.adam would decay every row of a multi-million-row table
+        # every step, which is exactly the full-table sweep this kernel
+        # exists to avoid.
+        touched = jnp.any(g != 0, axis=1, keepdims=True)
+        m_new = jnp.float32(b1) * m_ref[:] + jnp.float32(1 - b1) * g
+        v_new = jnp.float32(b2) * v_ref[:] + jnp.float32(1 - b2) * g * g
+        update = lr * (m_new * bc1) / (jnp.sqrt(v_new * bc2) + jnp.float32(eps))
+        m_out_ref[:] = jnp.where(touched, m_new, m_ref[:])
+        v_out_ref[:] = jnp.where(touched, v_new, v_ref[:])
+        param_out_ref[:] = jnp.where(touched, param_ref[:] - update,
+                                     param_ref[:])
+
+
+def fused_adam_apply(
+    stack: jax.Array, m: jax.Array, v: jax.Array,
+    lids: jax.Array, ct: jax.Array,
+    *, pack: int, dim: int, lr, step,
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+    tile_rows: int = 512, chunk: int = 1024, stream_dtype=jnp.float32,
+    presorted=None, reorder: str = "auto",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """In-place **lazy** Adam on a lane-packed stack.
+
+    Rows with a nonzero aggregated gradient this step get the full Adam
+    update with bias correction at time ``step + 1``; untouched rows keep
+    stale moments (no full-table decay sweep — the point of the kernel).
+    Matches ``fused_adam_ref`` (tests); diverges from dense ``optax.adam``
+    exactly on the untouched-row decay, as documented.
+    Returns (new_stack, new_m, new_v); inputs are aliased (donated).
+    """
+    num_rows, L = stack.shape
+    t = (jnp.asarray(step, jnp.float32) + 1.0)
+    bc1 = 1.0 / (1.0 - jnp.power(jnp.float32(b1), t))
+    bc2 = 1.0 / (1.0 - jnp.power(jnp.float32(b2), t))
+    if L % 128 != 0 or num_rows % 64 != 0:
+        return fused_adam_ref(stack, m, v, lids, ct, pack=pack, dim=dim,
+                              lr=lr, step=step, b1=b1, b2=b2, eps=eps)
+    return _run_fused_kernel(
+        _fused_adam_kernel, [lr, bc1, bc2], stack, (m, v), lids, ct,
+        pack=pack, dim=dim, tile_rows=tile_rows, chunk=chunk,
+        stream_dtype=stream_dtype, presorted=presorted, reorder=reorder,
+        extra_static={"b1": b1, "b2": b2, "eps": eps})
+
+
+def fused_adam_ref(stack, m, v, lids, ct, *, pack, dim, lr, step,
+                   b1=0.9, b2=0.999, eps=1e-8):
+    """XLA reference: lazy Adam on the dense scatter-added gradient."""
+    g = _dense_row_grad(stack, lids, ct, pack, dim)
+    touched = jnp.any(g != 0, axis=1, keepdims=True)
+    t = jnp.asarray(step, jnp.float32) + 1.0
+    bc1 = 1.0 / (1.0 - jnp.power(jnp.float32(b1), t))
+    bc2 = 1.0 / (1.0 - jnp.power(jnp.float32(b2), t))
+    m_new = b1 * m + (1 - b1) * g
+    v_new = b2 * v + (1 - b2) * g * g
+    update = lr * (m_new * bc1) / (jnp.sqrt(v_new * bc2) + eps)
+    return (jnp.where(touched, stack - update, stack),
+            jnp.where(touched, m_new, m),
+            jnp.where(touched, v_new, v))

@@ -197,10 +197,17 @@ def run(config: ExperimentConfig) -> dict:
 
     columns, X_train, y_train, X_test, y_test = build_data(config)
     model = build_model(config, columns)
+    fused = None
+    if config.fused_embedding:
+        from .training import FusedAdagrad, FusedAdam, FusedSGD
+
+        fused = {"adagrad": FusedAdagrad, "sgd": FusedSGD,
+                 "adam": FusedAdam}[config.fused_embedding](
+                     config.learning_rate)
     trainer = Trainer(model, optimizer=config.build_optimizer(),
                       loss_fn=make_loss_fn(config), seed=config.seed,
                       weight_decay=config.weight_decay,
-                      mesh=config.build_mesh())
+                      mesh=config.build_mesh(), fused_embedding=fused)
     state = trainer.init(next(iter_batches(X_train, y_train,
                                            min(config.batch_size,
                                                len(y_train))))[0])
@@ -271,6 +278,9 @@ def parse_args(argv=None) -> ExperimentConfig:
     p.add_argument("--seed", type=int, default=defaults.seed)
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--fused-embedding", default=defaults.fused_embedding,
+                   choices=[None, "adagrad", "sgd", "adam"],
+                   help="fused sparse embedding optimizer (Pallas kernel)")
     p.add_argument("--dnn-dtype", default=defaults.dnn_dtype,
                    choices=[None, "bfloat16"],
                    help="deep-tower compute dtype (params stay f32)")
@@ -289,6 +299,7 @@ def parse_args(argv=None) -> ExperimentConfig:
         epochs=args.epochs, learning_rate=args.learning_rate,
         optimizer=args.optimizer, weight_decay=args.weight_decay,
         seed=args.seed, dssm_loss=args.dssm_loss, dnn_dtype=args.dnn_dtype,
+        fused_embedding=args.fused_embedding,
         mesh_data=args.mesh_data, mesh_model=args.mesh_model,
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         profile_dir=args.profile_dir, log_every=args.log_every)

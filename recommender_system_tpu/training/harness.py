@@ -54,12 +54,66 @@ class FusedAdagrad:
     rounding of the gradients (the same precision XLA's matmuls use).
 
     ``learning_rate`` may be a float or an optax-style schedule ``f(step)``.
+    Sibling configs: :class:`FusedSGD`, :class:`FusedAdam` (lazy Adam).
     """
 
     learning_rate: Any = 0.05
     eps: float = struct.field(pytree_node=False, default=1e-7)
     initial_accumulator_value: float = struct.field(
         pytree_node=False, default=0.1)
+
+    def init_slots(self, stack):
+        return (jnp.full_like(stack, self.initial_accumulator_value),)
+
+    def apply(self, stack, slots, lids, ct, *, lr, step, **kw):
+        from ..ops.fused_adagrad import fused_adagrad_apply
+
+        new_stack, new_acc = fused_adagrad_apply(
+            stack, slots[0], lids, ct, lr=lr, eps=self.eps, **kw)
+        return new_stack, (new_acc,)
+
+
+@struct.dataclass
+class FusedSGD:
+    """Fused sparse SGD: ``param[row] -= lr * grad`` applied in place per
+    touched row (``ops/fused_adagrad.py fused_sgd_apply``) — the reference's
+    training recipe (SGD(0.01), ``utils/compile_fit.py:12``) without a dense
+    stack gradient."""
+
+    learning_rate: Any = 0.01
+
+    def init_slots(self, stack):
+        return ()
+
+    def apply(self, stack, slots, lids, ct, *, lr, step, **kw):
+        from ..ops.fused_adagrad import fused_sgd_apply
+
+        (new_stack,) = fused_sgd_apply(stack, lids, ct, lr=lr, **kw)
+        return new_stack, ()
+
+
+@struct.dataclass
+class FusedAdam:
+    """Fused sparse **lazy** Adam: rows with gradients this step get the
+    bias-corrected Adam update; untouched rows keep stale moments (TF
+    LazyAdamOptimizer semantics — a dense optax.adam would sweep the whole
+    multi-million-row table every step)."""
+
+    learning_rate: Any = 1e-3
+    b1: float = struct.field(pytree_node=False, default=0.9)
+    b2: float = struct.field(pytree_node=False, default=0.999)
+    eps: float = struct.field(pytree_node=False, default=1e-8)
+
+    def init_slots(self, stack):
+        return (jnp.zeros_like(stack), jnp.zeros_like(stack))
+
+    def apply(self, stack, slots, lids, ct, *, lr, step, **kw):
+        from ..ops.fused_adagrad import fused_adam_apply
+
+        new_stack, m, v = fused_adam_apply(
+            stack, slots[0], slots[1], lids, ct, lr=lr, step=step,
+            b1=self.b1, b2=self.b2, eps=self.eps, **kw)
+        return new_stack, (m, v)
 
 
 _STACK_KEY_RE = re.compile(r"^table_d(\d+)$")
@@ -160,10 +214,9 @@ class Trainer:
             if not stacks:
                 raise ValueError("fused_embedding set but the model has no "
                                  "embedding stacks (table_d* params)")
-            accs = {p: jnp.full_like(
-                v, self.fused_embedding.initial_accumulator_value)
-                for p, v in stacks.items()}
-            opt_state = (self.tx.init(rest), accs)
+            slots = {p: self.fused_embedding.init_slots(v)
+                     for p, v in stacks.items()}
+            opt_state = (self.tx.init(rest), slots)
         else:
             opt_state = self.tx.init(params)
         state = TrainState(params=params, batch_stats=batch_stats,
@@ -193,7 +246,6 @@ class Trainer:
         """
         from ..layers.embedding import pack_factor
         from ..ops import dispatch
-        from ..ops.fused_adagrad import fused_adagrad_apply
         from flax import traverse_util
 
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
@@ -201,7 +253,7 @@ class Trainer:
 
         def _train_step(state: TrainState, batch, labels):
             step_rng = jax.random.fold_in(state.rng, state.step)
-            dense_opt, accs = state.opt_state
+            dense_opt, slots = state.opt_state
             stacks, rest = _split_stack_params(state.params)
             has_bn = len(state.batch_stats) > 0
 
@@ -248,7 +300,7 @@ class Trainer:
             flat_ct = traverse_util.flatten_dict(flax_unfreeze(g_pert))
             # leaf at each site path is the sown (slid, order) tuple
             flat_sort = traverse_util.flatten_dict(flax_unfreeze(sort_tree))
-            new_stacks, new_accs = {}, {}
+            new_stacks, new_slots = {}, {}
             for path, stack in stacks.items():
                 scope, key = path[:-1], path[-1]
                 dim = int(_STACK_KEY_RE.match(key).group(1))
@@ -262,7 +314,7 @@ class Trainer:
                         site_paths.append(ip)
                 if not ids_list:
                     new_stacks[path] = stack
-                    new_accs[path] = accs[path]
+                    new_slots[path] = slots[path]
                     continue
                 lids = jnp.concatenate(ids_list)
                 ct = jnp.concatenate(ct_list)
@@ -273,16 +325,16 @@ class Trainer:
                     info = flat_sort.get(site_paths[0])
                     if info is not None:
                         presorted = (info[0], info[1])
-                new_stacks[path], new_accs[path] = fused_adagrad_apply(
-                    stack, accs[path], lids, ct, pack=pack_factor(dim),
-                    dim=dim, lr=lr, eps=cfg.eps,
+                new_stacks[path], new_slots[path] = cfg.apply(
+                    stack, slots[path], lids, ct, lr=lr, step=state.step,
+                    pack=pack_factor(dim), dim=dim,
                     stream_dtype=jnp.bfloat16 if dispatch.on_tpu()
                     else jnp.float32, presorted=presorted, reorder=reorder)
 
             new_state = state.replace(
                 params=_merge_stack_params(new_rest, new_stacks),
                 batch_stats=new_stats,
-                opt_state=(new_dense_opt, new_accs),
+                opt_state=(new_dense_opt, new_slots),
                 step=state.step + 1)
             return new_state, loss
 

@@ -74,3 +74,10 @@ def test_dnn_dtype_bf16_runs():
     assert "auc" in result and np.isfinite(result["logloss"])
     cfg = parse_args(["--model", "dcn", "--dnn-dtype", "bfloat16"])
     assert cfg.dnn_dtype == "bfloat16"
+
+
+def test_fused_embedding_cli_paths():
+    for opt, fe in (("adagrad", "adagrad"), ("sgd", "sgd"), ("adam", "adam")):
+        result = run(_cfg(model="deepfm", optimizer=opt, fused_embedding=fe,
+                          learning_rate=0.05 if fe != "adam" else 1e-2))
+        assert np.isfinite(result["logloss"]), fe
