@@ -207,3 +207,33 @@ def test_fused_adam_matches_lazy_ref():
     for _ in range(10):
         st, l1 = step(st, batch, labels)
     assert float(l1) < float(l0)
+
+
+def test_fused_state_checkpoint_roundtrip(tmp_path):
+    """The fused optimizer's slot state (accumulators) survives orbax
+    checkpoint/resume byte-for-byte — restartability for the production
+    training path (SURVEY.md §5.4)."""
+    from recommender_system_tpu.training.checkpoint import (restore_checkpoint,
+                                                            save_checkpoint)
+
+    cols, batch, labels = _setup(n=256)
+    tr = Trainer(DeepFM(tuple(cols), hidden_units=(16,)),
+                 optimizer=optax.adagrad(0.05),
+                 fused_embedding=FusedAdagrad(0.05))
+    state = tr.init(batch)
+    step = tr._make_train_step()
+    for _ in range(3):
+        state, _ = step(state, batch, labels)
+    save_checkpoint(str(tmp_path / "ck"), state)
+
+    fresh = tr.init(batch)
+    restored = restore_checkpoint(str(tmp_path / "ck"), fresh)
+    assert int(restored.step) == 3
+    for (p, got), (_, want) in zip(
+            sorted(restored.opt_state[1].items()),
+            sorted(state.opt_state[1].items())):
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    # training continues from the restored state
+    restored, loss = step(restored, batch, labels)
+    assert np.isfinite(float(loss)) and int(restored.step) == 4
