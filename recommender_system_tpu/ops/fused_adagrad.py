@@ -371,7 +371,7 @@ def _fused_adam_kernel(wsub_ref, wchunk_ref, hyper_ref, sids_ref, sgrads_ref,
                        param_ref, m_ref, v_ref,
                        param_out_ref, m_out_ref, v_out_ref, gacc,
                        *, tile_rows: int, chunk: int, W: int, pad_chunk: int,
-                       b1: float, b2: float, eps: float):
+                       b1: float, b2: float, eps: float, dim: int):
     w = pl.program_id(0)
     sub = wsub_ref[w]
     prev = wsub_ref[jnp.maximum(w - 1, 0)]
@@ -395,13 +395,26 @@ def _fused_adam_kernel(wsub_ref, wchunk_ref, hyper_ref, sids_ref, sgrads_ref,
     @pl.when((w == W - 1) | (nxt != sub))
     def _apply():
         g = gacc[:]
+        L = g.shape[1]
         lr, bc1, bc2 = hyper_ref[0], hyper_ref[1], hyper_ref[2]
         # LAZY Adam: only rows that received a gradient this step update
         # their moments/params (TF LazyAdamOptimizer semantics) — a dense
         # optax.adam would decay every row of a multi-million-row table
         # every step, which is exactly the full-table sweep this kernel
-        # exists to avoid.
-        touched = jnp.any(g != 0, axis=1, keepdims=True)
+        # exists to avoid. Laziness is per LOGICAL row: under lane packing a
+        # physical 128-lane row holds ``pack`` logical rows, so "touched" is
+        # computed per dim-lane group (an untouched logical row sharing a
+        # physical row with a touched one must keep its stale moments). The
+        # group-any is a block-diagonal matmul: counts are small ints, exact
+        # in bf16, accumulated f32 on the MXU.
+        group_eq = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0) // dim
+                    == jax.lax.broadcasted_iota(jnp.int32, (L, L), 1) // dim)
+        gmat = jnp.where(group_eq, jnp.float32(1),
+                         jnp.float32(0)).astype(jnp.bfloat16)
+        present = jnp.where(g != 0, jnp.float32(1),
+                            jnp.float32(0)).astype(jnp.bfloat16)
+        touched = jnp.dot(present, gmat,
+                          preferred_element_type=jnp.float32) > 0
         m_new = jnp.float32(b1) * m_ref[:] + jnp.float32(1 - b1) * g
         v_new = jnp.float32(b2) * v_ref[:] + jnp.float32(1 - b2) * g * g
         update = lr * (m_new * bc1) / (jnp.sqrt(v_new * bc2) + jnp.float32(eps))
@@ -421,12 +434,15 @@ def fused_adam_apply(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """In-place **lazy** Adam on a lane-packed stack.
 
-    Rows with a nonzero aggregated gradient this step get the full Adam
-    update with bias correction at time ``step + 1``; untouched rows keep
-    stale moments (no full-table decay sweep — the point of the kernel).
-    Matches ``fused_adam_ref`` (tests); diverges from dense ``optax.adam``
-    exactly on the untouched-row decay, as documented.
-    Returns (new_stack, new_m, new_v); inputs are aliased (donated).
+    Logical rows with a nonzero aggregated gradient this step get the full
+    Adam update with bias correction at time ``step + 1``; untouched rows
+    keep stale moments (no full-table decay sweep — the point of the
+    kernel). Laziness is at **logical-row** granularity: under lane packing
+    each dim-lane group of a physical row is touched independently, matching
+    per-row TF LazyAdam semantics. Matches ``fused_adam_ref`` (tests);
+    diverges from dense ``optax.adam`` exactly on the untouched-row decay,
+    as documented. Returns (new_stack, new_m, new_v); inputs are aliased
+    (donated).
     """
     num_rows, L = stack.shape
     t = (jnp.asarray(step, jnp.float32) + 1.0)
@@ -439,14 +455,21 @@ def fused_adam_apply(
         _fused_adam_kernel, [lr, bc1, bc2], stack, (m, v), lids, ct,
         pack=pack, dim=dim, tile_rows=tile_rows, chunk=chunk,
         stream_dtype=stream_dtype, presorted=presorted, reorder=reorder,
-        extra_static={"b1": b1, "b2": b2, "eps": eps})
+        extra_static={"b1": b1, "b2": b2, "eps": eps, "dim": dim})
 
 
 def fused_adam_ref(stack, m, v, lids, ct, *, pack, dim, lr, step,
                    b1=0.9, b2=0.999, eps=1e-8):
-    """XLA reference: lazy Adam on the dense scatter-added gradient."""
+    """XLA reference: lazy Adam on the dense scatter-added gradient.
+
+    ``touched`` is per logical row (dim-lane group), not per physical
+    lane-packed row — see ``fused_adam_apply``."""
     g = _dense_row_grad(stack, lids, ct, pack, dim)
-    touched = jnp.any(g != 0, axis=1, keepdims=True)
+    L = g.shape[1]
+    lane_group = jnp.arange(L) // dim
+    group_any = (g != 0).astype(jnp.float32) @ (
+        lane_group[:, None] == lane_group[None, :]).astype(jnp.float32)
+    touched = group_any > 0
     t = jnp.asarray(step, jnp.float32) + 1.0
     bc1 = 1.0 / (1.0 - jnp.power(jnp.float32(b1), t))
     bc2 = 1.0 / (1.0 - jnp.power(jnp.float32(b2), t))

@@ -120,7 +120,7 @@ def build_model(config: ExperimentConfig, columns):
     name = config.model
     if config.dnn_dtype and name not in ("lr", "cf", "mf", "lstm",
                                          "transformer", "fm", "ffm", "afm",
-                                         "deep_crossing"):
+                                         "deep_crossing", "mmoe"):
         import jax.numpy as jnp
 
         kwargs.setdefault("dnn_dtype",

@@ -55,6 +55,11 @@ class FusedAdagrad:
 
     ``learning_rate`` may be a float or an optax-style schedule ``f(step)``.
     Sibling configs: :class:`FusedSGD`, :class:`FusedAdam` (lazy Adam).
+
+    Checkpoint note: fused opt_state slots are stored as a dict of per-stack
+    TUPLES (``(acc,)`` / ``(m, v)`` / ``()``); checkpoints written by the
+    pre-2026-08-19 dict-of-arrays layout are not restorable (no shim — the
+    layout changed before any long-lived checkpoints existed).
     """
 
     learning_rate: Any = 0.05

@@ -315,8 +315,6 @@ def load_avazu(
     Deterministic split: last ``test_frac`` of rows (same policy as
     ``load_criteo``). Returns (columns, X_train, y_train, X_test, y_test).
     """
-    import datetime
-
     import pandas as pd
 
     df = pd.read_csv(path, nrows=max_rows, dtype=str)
@@ -325,11 +323,19 @@ def load_avazu(
     columns: list = []
     X: Dict[str, np.ndarray] = {}
 
-    hours = df["hour"].to_numpy()
-    hod = np.asarray([int(h) % 100 for h in hours], np.int32)
-    dow = np.asarray(
-        [datetime.date(2000 + int(h[:2]), int(h[2:4]), int(h[4:6])).weekday()
-         for h in hours], np.int32)
+    # vectorized YYMMDDHH parse (per-row python date loops are minutes on the
+    # full ~40M-row train.csv)
+    ints = df["hour"].to_numpy(np.int64)
+    hod = (ints % 100).astype(np.int32)
+    dates = (ints // 100).astype(np.int64)  # YYMMDD
+    # int -> datetime64 casts count from the 1970 epoch
+    months = ((2000 + dates // 10000 - 1970).astype("datetime64[Y]")
+              .astype("datetime64[M]")
+              + ((dates // 100 % 100).astype("timedelta64[M]") - 1))
+    days = (months.astype("datetime64[D]")
+            + ((dates % 100).astype("timedelta64[D]") - 1))
+    # numpy epoch 1970-01-01 is a Thursday (weekday 3, Monday=0)
+    dow = ((days.astype(np.int64) + 3) % 7).astype(np.int32)
     columns.append(SparseFeat("hour_of_day", 25, embedding_dim))
     X["hour_of_day"] = hod + 1  # 0 reserved for padding/missing
     columns.append(SparseFeat("day_of_week", 8, embedding_dim))
@@ -369,9 +375,10 @@ def load_amazon_reviews(reviews_path: str, meta_path: Optional[str] = None,
     asin / categories, used to attach a category id per item (DIN/DIEN use
     (item, category) pairs, ``model/dien.py:172-199``'s item_id+cate_id).
 
-    Returns (df, n_users, n_items, n_cates) where df has integer-encoded
-    user_id / item_id / cate_id (>=1; 0 is the padding id) + timestamp,
-    sorted chronologically. Lines are ``eval``-free: parsed with json after a
+    Returns (df, n_users, n_items, n_cates, item_cate) where df has
+    integer-encoded user_id / item_id / cate_id (>=1; 0 is the padding id)
+    + timestamp, sorted chronologically, and ``item_cate[item_id] ->
+    cate_id`` (row 0 pads). Lines are ``eval``-free: parsed with json after a
     single-quote fixup pass (the raw meta files use python literals).
     """
     import ast

@@ -237,3 +237,44 @@ def test_fused_state_checkpoint_roundtrip(tmp_path):
     # training continues from the restored state
     restored, loss = step(restored, batch, labels)
     assert np.isfinite(float(loss)) and int(restored.step) == 4
+
+
+def test_fused_adam_lazy_per_logical_row():
+    """Laziness is per LOGICAL row: an untouched logical row sharing a
+    lane-packed physical row with a touched one keeps its params and stale
+    moments exactly (kernel and XLA ref agree — the round-1 per-physical-row
+    mask would have decayed its momentum and nudged its params)."""
+    from recommender_system_tpu.ops.fused_adagrad import (fused_adam_apply,
+                                                          fused_adam_ref)
+
+    rng = np.random.default_rng(3)
+    rows, pack, dim = 64, 14, 9
+    stack = jnp.asarray(rng.normal(size=(rows, 128)).astype(np.float32))
+    # nonzero moments so an erroneous decay is visible
+    m = jnp.asarray(rng.normal(size=(rows, 128)).astype(np.float32))
+    v = jnp.abs(jnp.asarray(rng.normal(size=(rows, 128)).astype(np.float32)))
+    # touch ONLY logical rows with slot 0 -> slots 1..13 share the physical
+    # row but must stay untouched
+    wide = rng.integers(0, rows, size=50, dtype=np.int32)
+    lids = jnp.asarray(wide * pack)
+    ct = jnp.asarray(rng.normal(size=(50, dim)).astype(np.float32))
+
+    for fn in (
+        lambda: fused_adam_ref(stack, m, v, lids, ct, pack=pack, dim=dim,
+                               lr=1e-2, step=0),
+        lambda: jax.jit(lambda s, mm, vv, i, c: fused_adam_apply(
+            s, mm, vv, i, c, pack=pack, dim=dim, lr=1e-2, step=0,
+            tile_rows=64, chunk=128))(stack, m, v, lids, ct),
+    ):
+        new_stack, new_m, new_v = fn()
+        # lanes of slots 1..13 (dim..pack*dim) unchanged everywhere
+        untouched = slice(dim, pack * dim)
+        np.testing.assert_array_equal(np.asarray(new_stack)[:, untouched],
+                                      np.asarray(stack)[:, untouched])
+        np.testing.assert_array_equal(np.asarray(new_m)[:, untouched],
+                                      np.asarray(m)[:, untouched])
+        np.testing.assert_array_equal(np.asarray(new_v)[:, untouched],
+                                      np.asarray(v)[:, untouched])
+        # touched slot-0 lanes did move
+        assert not np.allclose(np.asarray(new_stack)[wide, :dim],
+                               np.asarray(stack)[wide, :dim])
