@@ -132,11 +132,46 @@ def packed_take(stack: jax.Array, rows: jax.Array, dim: int) -> jax.Array:
     from ..ops.embedding_grad import _packed_take_impl, packed_take_fast
 
     P = pack_factor(dim)
+    if dispatch.lookup_mesh() is not None:
+        return packed_take_exchange(stack, rows, dim,
+                                    dispatch.lookup_mesh(),
+                                    dispatch.lookup_capacity())[0]
     if dispatch.fast_scatter():
         return packed_take_fast(stack, rows, P, dim)
     # shared forward math: row gather + lane select (XLA output-fuses the
     # select into the gather) — see ops/embedding_grad.py for measurements
     return _packed_take_impl(stack, rows, P, dim)
+
+
+def packed_take_exchange(stack: jax.Array, rows: jax.Array, dim: int, mesh,
+                         capacity_factor: float = 2.0):
+    """Lane-packed gather through the explicit all-to-all exchange
+    (``parallel.fused.alltoall_take``): wide rows are fetched from their
+    owner shards under ``shard_map``, then lane-selected locally.
+
+    Returns ``([N, dim], overflow_count)`` — over-capacity ids resolve to
+    zero vectors and are counted. The TPU-native in-model counterpart of the
+    reference's ``embedding_lookup`` (``utils/inputs.py:59-89``) for
+    mesh-sharded tables.
+    """
+    from ..ops.embedding_grad import lane_select
+    from ..parallel.fused import alltoall_take
+
+    P = pack_factor(dim)
+    wids = (rows // P if P > 1 else rows).astype(jnp.int32)
+    N = wids.shape[0]
+    n = mesh.devices.size
+    rem = (-N) % n
+    if rem:
+        # pad with out-of-range ids (owner >= n -> never routed, zero rows)
+        wids = jnp.concatenate(
+            [wids, jnp.full((rem,), jnp.int32(2 ** 30))])
+    wide, overflow = alltoall_take(stack, wids, mesh,
+                                   capacity_factor=capacity_factor)
+    wide = wide[:N]
+    if P > 1:
+        return lane_select(wide, rows % P, P, dim), overflow
+    return wide[:, :dim], overflow
 
 
 def _stack_initializer(table_ranges, dim: int):
@@ -241,11 +276,28 @@ class EmbeddingCollection(nn.Module):
         ids = jnp.clip(ids, 0, spec.vocab - 1)
         return ids + spec.offset
 
+    def _gather(self, dim: int, rows_flat: jax.Array) -> jax.Array:
+        """One stack gather; under explicit-exchange mesh mode the lookup
+        goes through the all-to-all and its overflow count is sown
+        (collection ``embed_overflow`` — the Trainer surfaces it)."""
+        from ..ops import dispatch
+
+        mesh = dispatch.lookup_mesh()
+        if mesh is not None:
+            out, ovf = packed_take_exchange(
+                self._stacks[dim], rows_flat, dim, mesh,
+                dispatch.lookup_capacity())
+            self.sow("embed_overflow", f"d{dim}", ovf,
+                     reduce_fn=lambda a, b: a + b,
+                     init_fn=lambda: jnp.int32(0))
+            return out
+        return packed_take(self._stacks[dim], rows_flat, dim)
+
     def _take(self, fc, rows: jax.Array) -> jax.Array:
         from ..ops import dispatch
 
         dim = fc.embedding_dim
-        out = packed_take(self._stacks[dim], rows.reshape(-1), dim)
+        out = self._gather(dim, rows.reshape(-1))
         out = out.reshape(rows.shape + (dim,))
         if dispatch.fused_opt_mode() and fc.trainable:
             # fused sparse optimizer: capture this lookup's cotangent via a
@@ -294,7 +346,7 @@ class EmbeddingCollection(nn.Module):
             rows = jnp.stack(
                 [self._resolve_ids(fc, batch[fc.name].reshape(-1)) for fc in fcs],
                 axis=1)  # [B, F]
-            embeds = packed_take(self._stacks[dim], rows.reshape(-1), dim)
+            embeds = self._gather(dim, rows.reshape(-1))
             embeds = embeds.reshape(rows.shape + (dim,))  # [B, F, d]
             if dispatch.fused_opt_mode():
                 embeds = self.perturb(f"grad_d{dim}_sparse", embeds)

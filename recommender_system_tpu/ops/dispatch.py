@@ -81,6 +81,29 @@ def fused_opt_mode() -> bool:
     return _fused_opt
 
 
+# --- explicit all-to-all embedding lookup (mesh mode) -----------------------
+# When a mesh is registered here, EmbeddingCollection routes its forward
+# gathers through the explicit shard_map exchange (parallel/fused.py
+# alltoall_take) instead of GSPMD's synthesized gather. Trace-time global,
+# set by the Trainer (explicit_lookup=True).
+_lookup_mesh = None
+_lookup_capacity = 2.0
+
+
+def set_lookup_mesh(mesh, capacity_factor: float = 2.0) -> None:
+    global _lookup_mesh, _lookup_capacity
+    _lookup_mesh = mesh
+    _lookup_capacity = float(capacity_factor)
+
+
+def lookup_mesh():
+    return _lookup_mesh
+
+
+def lookup_capacity() -> float:
+    return _lookup_capacity
+
+
 def fast_scatter(override: Optional[bool] = None) -> bool:
     """Use the Pallas work-queue scatter as the embedding-lookup backward."""
     if override is not None:

@@ -56,10 +56,40 @@ def table_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None))
 
 
-def is_embedding_table_path(path) -> bool:
-    """True if a pytree key-path addresses a fused embedding stack param."""
+# Wide-row stacks (dim >= 64: at most 2 logical rows per 128-lane physical
+# row) are additionally COLUMN-sharded: rows over 'data', lanes over 'model'
+# (north star: "row/column-sharded tables"). A narrow stack (pack >= 4)
+# gains nothing from splitting 128 lanes, but a wide table's row fragments
+# parallelize the gather bandwidth across the model axis.
+COLUMN_SHARD_MIN_DIM = 64
+
+
+def wide_table_sharding(mesh: Mesh) -> NamedSharding:
+    """2-D sharding for wide-row stacks: P('data', 'model')."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
+def _table_dim_from_path(path) -> Optional[int]:
     for entry in path:
         key = getattr(entry, "key", None)
+        if isinstance(key, tuple):
+            key = key[-1] if key else None
+        if isinstance(key, str) and key.startswith("table_d"):
+            try:
+                return int(key[len("table_d"):])
+            except ValueError:
+                return None
+    return None
+
+
+def is_embedding_table_path(path) -> bool:
+    """True if a pytree key-path addresses a fused embedding stack param
+    (or its fused-optimizer slot state, whose dict keys are flattened path
+    TUPLES like ``('unified', 'embeddings', 'table_d9')``)."""
+    for entry in path:
+        key = getattr(entry, "key", None)
+        if isinstance(key, tuple):
+            key = key[-1] if key else None
         if isinstance(key, str) and key.startswith("table_d"):
             return True
     return False
@@ -79,6 +109,12 @@ def expert_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 def _rule(path, leaf, mesh: Mesh):
     if is_embedding_table_path(path) and getattr(leaf, "ndim", 0) == 2:
+        dim = _table_dim_from_path(path)
+        n_model = mesh.shape[MODEL_AXIS]
+        if (dim is not None and dim >= COLUMN_SHARD_MIN_DIM and n_model > 1
+                and leaf.shape[0] % mesh.shape[DATA_AXIS] == 0
+                and leaf.shape[1] % n_model == 0):
+            return wide_table_sharding(mesh)
         return table_sharding(mesh)
     if (is_expert_path(path) and getattr(leaf, "ndim", 0) >= 2
             and mesh.shape[MODEL_AXIS] > 1):

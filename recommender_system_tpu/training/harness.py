@@ -178,6 +178,8 @@ class Trainer:
         weight_decay: float = 0.0,
         mesh=None,
         fused_embedding: Optional[FusedAdagrad] = None,
+        capacity_factor: float = 2.0,
+        explicit_lookup: bool = False,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — embedding stacks are
         row-sharded across all devices and batches split over the 'data' axis
@@ -185,14 +187,23 @@ class Trainer:
 
         ``fused_embedding``: a :class:`FusedAdagrad` config routes embedding
         cotangents straight into the in-place Pallas scatter-Adagrad kernel
-        (dense params still use ``optimizer``). Incompatible with ``mesh``
-        (the kernel is opaque to GSPMD)."""
+        (dense params still use ``optimizer``). Composes with ``mesh``: the
+        update stream is bucketed by owner shard and exchanged with
+        ``lax.all_to_all`` under ``shard_map``, then each shard runs the
+        kernel on its local stack slice (``parallel.fused``).
+        ``capacity_factor`` bounds the per-destination exchange buckets;
+        over-capacity updates are dropped and counted in the fit history
+        (``embedding_overflow``).
+
+        ``explicit_lookup``: under a mesh, route the forward embedding
+        gather through the explicit all-to-all exchange
+        (``parallel.fused.alltoall_take``) instead of whatever GSPMD
+        synthesizes for the sharded ``take``."""
         self.model = model
         self.mesh = mesh
-        if fused_embedding is not None and mesh is not None:
-            raise ValueError("fused_embedding is single-device only: the "
-                             "scatter kernel is opaque to GSPMD sharding")
         self.fused_embedding = fused_embedding
+        self.capacity_factor = capacity_factor
+        self.explicit_lookup = explicit_lookup
         if optimizer is None:
             optimizer = optax.adam(1e-3)
         if weight_decay:
@@ -255,6 +266,7 @@ class Trainer:
 
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
         cfg = self.fused_embedding
+        mesh, capacity_factor = self.mesh, self.capacity_factor
 
         def _train_step(state: TrainState, batch, labels):
             step_rng = jax.random.fold_in(state.rng, state.step)
@@ -265,7 +277,7 @@ class Trainer:
             def fwd(rest_p, perturbs):
                 variables = {"params": _merge_stack_params(rest_p, stacks),
                              "perturbations": perturbs}
-                mut = ["embed_ids", "embed_sort"]
+                mut = ["embed_ids", "embed_sort", "embed_overflow"]
                 if has_bn:
                     variables["batch_stats"] = state.batch_stats
                     mut.append("batch_stats")
@@ -275,12 +287,14 @@ class Trainer:
                 new_stats = mutated.get("batch_stats", state.batch_stats)
                 return loss_fn(outputs, labels, batch), (
                     new_stats, mutated["embed_ids"],
-                    mutated.get("embed_sort", {}))
+                    mutated.get("embed_sort", {}),
+                    mutated.get("embed_overflow", {}))
 
             # zero perturbations with the right shapes (trace-time only)
             def _shapes(rest_p, rng):
                 variables = {"params": _merge_stack_params(rest_p, stacks)}
-                mut = ["embed_ids", "embed_sort", "perturbations"]
+                mut = ["embed_ids", "embed_sort", "embed_overflow",
+                       "perturbations"]
                 if has_bn:
                     variables["batch_stats"] = state.batch_stats
                     mut.append("batch_stats")
@@ -291,7 +305,8 @@ class Trainer:
             perturbs0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
                                      pert_shapes)
 
-            (loss, (new_stats, ids_tree, sort_tree)), (g_rest, g_pert) = \
+            (loss, (new_stats, ids_tree, sort_tree, ovf_tree)), \
+                (g_rest, g_pert) = \
                 jax.value_and_grad(fwd, argnums=(0, 1), has_aux=True)(
                     rest, perturbs0)
 
@@ -306,6 +321,11 @@ class Trainer:
             # leaf at each site path is the sown (slid, order) tuple
             flat_sort = traverse_util.flatten_dict(flax_unfreeze(sort_tree))
             new_stacks, new_slots = {}, {}
+            # lookup-side overflow (explicit-exchange forward, sown by
+            # EmbeddingCollection) + update-side overflow below
+            total_overflow = sum(
+                (jnp.sum(leaf) for leaf in jax.tree.leaves(ovf_tree)),
+                jnp.int32(0))
             for path, stack in stacks.items():
                 scope, key = path[:-1], path[-1]
                 dim = int(_STACK_KEY_RE.match(key).group(1))
@@ -323,6 +343,19 @@ class Trainer:
                     continue
                 lids = jnp.concatenate(ids_list)
                 ct = jnp.concatenate(ct_list)
+                stream_dtype = (jnp.bfloat16 if dispatch.on_tpu()
+                                else jnp.float32)
+                if mesh is not None:
+                    from ..parallel.fused import sharded_fused_update
+
+                    new_stacks[path], new_slots[path], ovf = \
+                        sharded_fused_update(
+                            cfg, stack, slots[path], lids, ct, mesh,
+                            lr=lr, step=state.step, pack=pack_factor(dim),
+                            dim=dim, stream_dtype=stream_dtype,
+                            capacity_factor=capacity_factor)
+                    total_overflow = total_overflow + ovf
+                    continue
                 presorted = None
                 if len(site_paths) == 1:
                     # pre-sorted stream from the lookup site (stream_sort);
@@ -333,14 +366,19 @@ class Trainer:
                 new_stacks[path], new_slots[path] = cfg.apply(
                     stack, slots[path], lids, ct, lr=lr, step=state.step,
                     pack=pack_factor(dim), dim=dim,
-                    stream_dtype=jnp.bfloat16 if dispatch.on_tpu()
-                    else jnp.float32, presorted=presorted, reorder=reorder)
+                    stream_dtype=stream_dtype,
+                    presorted=presorted, reorder=reorder)
 
             new_state = state.replace(
                 params=_merge_stack_params(new_rest, new_stacks),
                 batch_stats=new_stats,
                 opt_state=(new_dense_opt, new_slots),
                 step=state.step + 1)
+            if mesh is not None:
+                # overflow = updates dropped by the capacity-bounded exchange
+                # (silent gradient loss otherwise — surfaced in fit history)
+                return new_state, {"loss": loss,
+                                   "embedding_overflow": total_overflow}
             return new_state, loss
 
         return _train_step
@@ -393,14 +431,19 @@ class Trainer:
         from ..ops import dispatch
 
         mesh, fused = self.mesh, self.fused_embedding is not None
+        lookup_mesh = mesh if (self.explicit_lookup and mesh is not None) \
+            else None
+        capacity_factor = self.capacity_factor
 
         def run(*args):
             dispatch.set_mesh_mode(mesh is not None)
             dispatch.set_fused_opt_mode(fused)
+            dispatch.set_lookup_mesh(lookup_mesh, capacity_factor)
             try:
                 return fn(*args)
             finally:
                 dispatch.set_fused_opt_mode(False)
+                dispatch.set_lookup_mesh(None)
 
         return run
 
@@ -469,8 +512,19 @@ class Trainer:
             self._train_step = self._make_train_step()
         multi = self.make_multi_step() if steps_per_call > 1 else None
         history = {"loss": [], "examples_per_sec": []}
+        track_overflow = self.mesh is not None and \
+            self.fused_embedding is not None
+
+        def _split_out(out):
+            """Step output is a scalar loss, or a metrics dict under the
+            sharded fused optimizer (loss + embedding_overflow)."""
+            if isinstance(out, dict):
+                return out["loss"], out.get("embedding_overflow")
+            return out, None
+
         for epoch in range(epochs):
             losses = []
+            overflows = []
             n_examples = 0
             pending = []
             t0 = time.perf_counter()
@@ -483,13 +537,19 @@ class Trainer:
                     bs = jax.tree.map(lambda *xs: jnp.stack(xs),
                                       *[g[0] for g in group])
                     ls = jnp.stack([g[1] for g in group])
-                    st, group_losses = multi(state, bs, ls)
+                    st, group_out = multi(state, bs, ls)
                     state = st
-                    losses.extend(group_losses)
+                    gl, ovf = _split_out(group_out)
+                    losses.extend(gl)
+                    if ovf is not None:
+                        overflows.append(jnp.sum(ovf))
                 else:
                     for xb, yb in group:
-                        state, loss = self._train_step(state, xb, yb)
+                        state, out = self._train_step(state, xb, yb)
+                        loss, ovf = _split_out(out)
                         losses.append(loss)
+                        if ovf is not None:
+                            overflows.append(ovf)
                 n_examples += len(group) * batch_size
 
             for xb, yb in iter_batches(X, y, batch_size, shuffle=shuffle,
@@ -513,6 +573,67 @@ class Trainer:
                           if losses else 0.0)
             history["loss"].append(epoch_loss)
             history["examples_per_sec"].append(n_examples / dt)
+            if track_overflow:
+                history.setdefault("embedding_overflow", []).append(
+                    int(jnp.sum(jnp.asarray(overflows))) if overflows else 0)
+        return state, history
+
+    def fit_stream(self, state: TrainState, batches, log_every: int = 0):
+        """Train over a ``(batch_dict, labels)`` iterator (out-of-core path).
+
+        Double-buffered host->device staging: the NEXT batch's transfer is
+        issued before blocking on the current step, so host parsing
+        (``utils.datasets.stream_criteo``'s background C++ chunk parser) and
+        the device step overlap. Returns (state, history) like :meth:`fit`,
+        with per-stream totals instead of per-epoch entries.
+        """
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
+        history = {"loss": [], "examples_per_sec": []}
+        track_overflow = self.mesh is not None and \
+            self.fused_embedding is not None
+        losses, overflows = [], []
+        n_examples = 0
+        it = iter(batches)
+
+        def stage(item):
+            xb, yb = item
+            if self.mesh is not None:
+                return self._place_batch(xb, yb)
+            # async host->device copy to the default device
+            return (jax.tree.map(lambda a: jax.device_put(np.asarray(a)), xb),
+                    jax.device_put(np.asarray(yb)))
+
+        t0 = time.perf_counter()
+        nxt = next(it, None)
+        if nxt is not None:
+            nxt = stage(nxt)
+        while nxt is not None:
+            xb, yb = nxt
+            nxt = next(it, None)
+            if nxt is not None:
+                # stage the next transfer before this step's dispatch blocks
+                nxt = stage(nxt)
+            state, out = self._train_step(state, xb, yb)
+            if isinstance(out, dict):
+                losses.append(out["loss"])
+                overflows.append(out.get("embedding_overflow"))
+            else:
+                losses.append(out)
+            n_examples += int(np.asarray(
+                jax.tree.leaves(yb)[0].shape[0]))
+            if log_every and len(losses) % log_every == 0:
+                print(f"stream step {len(losses)} "
+                      f"loss {float(losses[-1]):.4f}")
+        if losses:
+            float(losses[-1])  # force completion inside the timed region
+        dt = time.perf_counter() - t0
+        history["loss"].append(
+            float(jnp.mean(jnp.asarray(losses))) if losses else 0.0)
+        history["examples_per_sec"].append(n_examples / max(dt, 1e-9))
+        if track_overflow and overflows:
+            history["embedding_overflow"] = [
+                int(jnp.sum(jnp.asarray(overflows)))]
         return state, history
 
     def predict(self, state: TrainState, X, batch_size: int = 1024,

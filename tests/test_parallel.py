@@ -118,3 +118,45 @@ def test_mmoe_expert_parallel(mesh, rng):
     assert experts.sharding.spec[-1] == "model"
     state, hist = tr.fit(state, X, y, batch_size=64, epochs=2)
     assert hist["loss"][-1] < hist["loss"][0] + 1e-3
+
+
+def test_wide_table_column_sharding_rule(mesh, rng):
+    """dim >= 64 stacks get the 2-D P('data','model') rule (rows x lanes);
+    narrow stacks keep row-only sharding; gather matches unsharded."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from recommender_system_tpu.layers.embedding import packed_take
+    from recommender_system_tpu.ops import dispatch
+
+    wide = rng.normal(size=(64, 128)).astype(np.float32)   # dim 64, pack 2
+    narrow = rng.normal(size=(64, 128)).astype(np.float32)  # dim 9
+    params = {"unified": {"embeddings": {"table_d64": jnp.asarray(wide),
+                                         "table_d9": jnp.asarray(narrow)}}}
+    sh = param_shardings(params, mesh)
+    tables = sh["unified"]["embeddings"]
+    assert tables["table_d64"].spec == P("data", "model")
+    assert tables["table_d9"].spec == P(("data", "model"), None)
+
+    sharded = jax.device_put(jnp.asarray(wide), tables["table_d64"])
+    rows = jnp.asarray(rng.integers(0, 128, 100).astype(np.int32))
+    dispatch.set_mesh_mode(True)
+    try:
+        got = jax.jit(lambda s, r: packed_take(s, r, 64))(sharded, rows)
+        want = packed_take(jnp.asarray(wide), rows, 64)
+    finally:
+        dispatch.set_mesh_mode(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    # gradient (scatter-add into the column-sharded stack) matches too
+    def loss(s):
+        return jnp.sum(packed_take(s, rows, 64) ** 2)
+
+    dispatch.set_mesh_mode(True)
+    try:
+        g_sharded = jax.jit(jax.grad(loss))(sharded)
+    finally:
+        dispatch.set_mesh_mode(False)
+    g_ref = jax.grad(loss)(jnp.asarray(wide))
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
