@@ -69,6 +69,13 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint64),
     ]
     lib.criteo_parse.restype = ctypes.c_int64
+    lib.criteo_parse_chunk.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.criteo_parse_chunk.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -106,3 +113,35 @@ def parse_criteo_native(
     if rows < 0:
         raise IOError(f"native parse failed for {path}")
     return labels[:rows], dense[:rows], sparse[:rows]
+
+
+def iter_criteo_chunks(path: str, chunk_rows: int, threads: int = 0):
+    """Stream a Criteo TSV in bounded-memory chunks (out-of-core path).
+
+    Yields ``(labels f32 [n], dense f32 [n,13], sparse u64 [n,26])`` with
+    ``n <= chunk_rows``; only one chunk (plus the parser's read window) is
+    resident at a time, so arbitrarily large files train with bounded RSS.
+    Extends the reference's whole-file ``pd.read_csv``
+    (``utils/dataset.py:36-75``) to beyond-RAM datasets.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native parser unavailable: {_build_error}")
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    offset = ctypes.c_int64(0)
+    while True:
+        labels = np.zeros(chunk_rows, np.float32)
+        dense = np.zeros((chunk_rows, 13), np.float32)
+        sparse = np.zeros((chunk_rows, 26), np.uint64)
+        rows = lib.criteo_parse_chunk(
+            path.encode(), ctypes.byref(offset), chunk_rows, threads,
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            dense.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            sparse.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        if rows < 0:
+            raise IOError(f"native chunk parse failed for {path} "
+                          f"at offset {offset.value}")
+        if rows == 0:
+            return
+        yield labels[:rows], dense[:rows], sparse[:rows]

@@ -146,4 +146,75 @@ int64_t criteo_parse(const char* path, int64_t max_rows, int threads,
   return rows;
 }
 
+// Streaming chunk parse: read up to max_rows rows starting at byte *offset
+// (must be a line start; 0 for the first call). Only the chunk's bytes are
+// resident — RSS is bounded by the chunk, not the file. On return *offset is
+// the byte position of the first unparsed line (feed back in for the next
+// chunk). Outputs preallocated as for criteo_parse. Returns rows parsed
+// (0 = EOF), or -1 on IO error.
+int64_t criteo_parse_chunk(const char* path, int64_t* offset, int64_t max_rows,
+                           int threads, float* labels, float* dense,
+                           uint64_t* sparse) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  const int64_t base = *offset;
+  if (fseek(f, static_cast<long>(base), SEEK_SET) != 0) {
+    fclose(f);
+    return -1;
+  }
+  // Grow the in-memory window until it spans max_rows complete lines or EOF;
+  // RSS is bounded by the chunk (window grows in 4MB reads).
+  std::vector<char> data;
+  std::vector<size_t> starts, ends;
+  size_t pos = 0;  // scan cursor into `data`
+  bool eof = false;
+  while (static_cast<int64_t>(starts.size()) < max_rows) {
+    // index complete lines available in the current window
+    while (pos < data.size() &&
+           static_cast<int64_t>(starts.size()) < max_rows) {
+      size_t nl = pos;
+      while (nl < data.size() && data[nl] != '\n') ++nl;
+      if (nl == data.size() && !eof) break;  // partial line: need more bytes
+      size_t e = nl;
+      if (e > pos && data[e - 1] == '\r') --e;
+      if (e > pos) {  // skip empty lines
+        starts.push_back(pos);
+        ends.push_back(e);
+      }
+      pos = nl < data.size() ? nl + 1 : nl;
+    }
+    if (eof || static_cast<int64_t>(starts.size()) >= max_rows) break;
+    size_t old = data.size();
+    data.resize(old + (1 << 22));
+    size_t got = fread(data.data() + old, 1, data.size() - old, f);
+    data.resize(old + got);
+    eof = got == 0;
+  }
+  fclose(f);
+  int64_t rows = static_cast<int64_t>(starts.size());
+  if (rows == 0) {
+    *offset = base + static_cast<int64_t>(pos);
+    return 0;
+  }
+  // next offset = byte after the last parsed line's terminator
+  size_t after = ends.back();
+  while (after < data.size() && data[after] != '\n') ++after;
+  *offset = base + static_cast<int64_t>(
+                       after < data.size() ? after + 1 : data.size());
+
+  int nthreads = threads > 0 ? threads : 1;
+  if (nthreads > rows) nthreads = static_cast<int>(rows);
+  std::vector<std::thread> pool;
+  int64_t per = (rows + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * per;
+    int64_t hi = lo + per < rows ? lo + per : rows;
+    if (lo >= hi) break;
+    pool.emplace_back(parse_rows, data.data(), starts.data(), ends.data(), lo,
+                      hi, labels, dense, sparse);
+  }
+  for (auto& th : pool) th.join();
+  return rows;
+}
+
 }  // extern "C"
