@@ -33,15 +33,32 @@ def bce_with_logits(logits: jax.Array, labels: jax.Array,
 class NegativeSampler:
     """Sampling config (parity: ``utils/negative.py:18-38``).
 
-    sampler: 'inbatch' | 'uniform' | 'frequency'
+    sampler: 'inbatch' | 'uniform' | 'frequency' | 'adaptive'
     item_probs: empirical item frequency distribution [n_items] (used for the
         log-Q correction and frequency-based sampling; distortion flattens it).
+
+    'adaptive' is TF's learned-unigram sampler (the reference enumerates it at
+    ``utils/negative.py:30`` but never wires it): the proposal distribution is
+    learned online from the positive items actually seen during training.
+    State is functional — initialize with :func:`init_adaptive_counts`, fold
+    each batch's positives in with :func:`update_adaptive_counts`, and pass
+    the counts to :func:`sampled_softmax_loss`.
     """
 
     sampler: str = "inbatch"
     num_sampled: int = 255
     item_probs: Optional[np.ndarray] = None
     distortion: float = 1.0
+
+
+def init_adaptive_counts(n_items: int) -> jax.Array:
+    """Learned-unigram state: start at 1 per item (uniform proposal)."""
+    return jnp.ones((n_items,), jnp.float32)
+
+
+def update_adaptive_counts(counts: jax.Array, pos_ids: jax.Array) -> jax.Array:
+    """Fold one batch of observed positive item ids into the unigram counts."""
+    return counts.at[pos_ids.reshape(-1)].add(1.0)
 
 
 def inbatch_softmax_loss(
@@ -79,15 +96,29 @@ def sampled_softmax_loss(
     sampler: NegativeSampler,
     rng: jax.Array,
     temperature: float = 1.0,
+    adaptive_counts: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Uniform / frequency negative sampling against the full item table.
+    """Uniform / frequency / adaptive negative sampling against the item table.
 
     Draws ``num_sampled`` negatives per batch (shared across rows — the standard
     sampled-softmax trick), with optional distortion-flattened frequency sampling,
     and applies the log-Q correction for the chosen proposal distribution.
+    'adaptive' (learned unigram, ``utils/negative.py:30``) samples from the
+    ``adaptive_counts`` state maintained by :func:`update_adaptive_counts`.
     """
     n_items = item_table.shape[0]
-    if sampler.sampler == "frequency" and sampler.item_probs is not None:
+    if sampler.sampler == "adaptive":
+        if adaptive_counts is None:
+            raise ValueError("adaptive sampling needs adaptive_counts "
+                             "(init_adaptive_counts / update_adaptive_counts)")
+        p = adaptive_counts ** sampler.distortion
+        p = p / jnp.sum(p)
+        neg_ids = jax.random.categorical(
+            rng, jnp.log(jnp.clip(p, 1e-12, None)),
+            shape=(sampler.num_sampled,))
+        log_q_neg = jnp.log(jnp.clip(p[neg_ids], 1e-12, None))
+        log_q_pos = jnp.log(jnp.clip(p[pos_ids.reshape(-1)], 1e-12, None))
+    elif sampler.sampler == "frequency" and sampler.item_probs is not None:
         p = jnp.asarray(sampler.item_probs) ** sampler.distortion
         p = p / jnp.sum(p)
         neg_ids = jax.random.categorical(

@@ -67,6 +67,41 @@ def test_sampled_softmax_runs():
         assert np.isfinite(loss) and loss > 0
 
 
+def test_adaptive_sampler_learns_unigram():
+    """'adaptive' (learned unigram, utils/negative.py:30): items seen often
+    as positives get proposed as negatives proportionally more often."""
+    from recommender_system_tpu.training.losses import (
+        init_adaptive_counts, update_adaptive_counts)
+
+    rng = jax.random.PRNGKey(0)
+    n_items = 50
+    counts = init_adaptive_counts(n_items)
+    # feed batches where item 7 dominates the positives
+    pos = jnp.asarray([7] * 30 + [3, 11])
+    for _ in range(20):
+        counts = update_adaptive_counts(counts, pos)
+    assert float(counts[7]) > 10 * float(counts[3])
+
+    u = jnp.asarray(np.random.default_rng(0).normal(size=(16, 8)), jnp.float32)
+    table = jnp.asarray(np.random.default_rng(1).normal(size=(n_items, 8)),
+                        jnp.float32)
+    sampler = NegativeSampler("adaptive", num_sampled=2000, distortion=1.0)
+    loss = float(sampled_softmax_loss(u, table, pos[:16], sampler, rng,
+                                      adaptive_counts=counts))
+    assert np.isfinite(loss) and loss > 0
+    # the proposal really follows the learned counts: sample negatives
+    # directly and check item 7 dominates the draws
+    p = counts / counts.sum()
+    neg = jax.random.categorical(rng, jnp.log(p), shape=(2000,))
+    frac7 = float(jnp.mean(neg == 7))
+    assert frac7 > 0.5, frac7
+
+    # missing state is a hard error, not silent uniform
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampled_softmax_loss(u, table, pos[:16], sampler, rng)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cols, X, y = synthetic_criteo(n_rows=128, vocab=30)
     model = FM(tuple(cols))
