@@ -1,0 +1,159 @@
+"""Weak-scaling harness on a virtual device mesh (SURVEY.md north star:
+"examples/s scaling measured at 1 chip / 1 host / N hosts").
+
+Real multi-chip hardware is not available in this environment, so this is the
+measurable stand-in: for n in {1, 2, 4, 8} virtual devices it runs the FULL
+sharded train step (DeepFM with the sharded fused optimizer + explicit
+all-to-all lookup, and DIN with varlen shared-table gradients) at a fixed
+per-device batch, and reports
+
+- wall-clock examples/s (virtual CPU devices — only the *trend* and the
+  collective structure are meaningful, not the absolute number),
+- the COLLECTIVE COUNTS compiled into the step HLO (all-reduce / all-to-all /
+  all-gather / collective-permute / reduce-scatter) — the hardware-independent
+  signal that the sharding is right: the explicit exchange should compile to a
+  constant small number of all-to-alls per step, and embedding stacks should
+  NOT be all-gathered around the Pallas kernel.
+
+Run:  python -m benchmarks.scaling            (CPU, forces 8 virtual devices)
+"""
+import json
+import os
+import re
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+PER_DEVICE_BATCH = 1024
+VOCAB = 4096
+STEPS = 8
+
+_COLLECTIVES = ("all-reduce", "all-to-all", "all-gather",
+                "collective-permute", "reduce-scatter")
+
+
+def collective_counts(hlo_text: str):
+    counts = {}
+    for name in _COLLECTIVES:
+        # count op INSTANCES (lines like `%all-to-all.3 = ...` or fusion-less
+        # `all-reduce(`), not string mentions in metadata
+        counts[name] = len(re.findall(rf"= \S* ?{name}", hlo_text)) or len(
+            re.findall(rf"{name}\.\d+ =", hlo_text))
+    return counts
+
+
+def _deepfm_case(mesh, n):
+    import optax
+
+    from recommender_system_tpu.models import DeepFM
+    from recommender_system_tpu.training import FusedAdagrad, Trainer
+    from recommender_system_tpu.utils.datasets import synthetic_criteo
+
+    B = PER_DEVICE_BATCH * n
+    cols, X, y = synthetic_criteo(n_rows=B, vocab=VOCAB, embedding_dim=8,
+                                  seed=0)
+    batch = {k: jnp.asarray(v) for k, v in X.items()}
+    labels = jnp.asarray(y)
+    model = DeepFM(tuple(cols), hidden_units=(64, 32))
+    tr = Trainer(model, optimizer=optax.adagrad(0.05),
+                 fused_embedding=FusedAdagrad(0.05), mesh=mesh,
+                 capacity_factor=float(max(2, n)), explicit_lookup=True)
+    return tr, batch, labels, B
+
+
+def _din_case(mesh, n):
+    from recommender_system_tpu.models import DIN
+    from recommender_system_tpu.training import Trainer
+    from recommender_system_tpu.utils.features import (DenseFeat, SparseFeat,
+                                                       VarLenSparseFeat)
+
+    rng = np.random.default_rng(0)
+    B, T, V = PER_DEVICE_BATCH * n, 16, VOCAB
+    cols = (
+        SparseFeat("user_id", V, 8),
+        SparseFeat("item_id", V, 8, embedding_name="item_id"),
+        VarLenSparseFeat(SparseFeat("hist_item_id", V, 8,
+                                    embedding_name="item_id"), maxlen=T),
+        DenseFeat("price", 1),
+    )
+    batch = {
+        "user_id": jnp.asarray(rng.integers(1, V, size=B)),
+        "item_id": jnp.asarray(rng.integers(1, V, size=B)),
+        "hist_item_id": jnp.asarray(rng.integers(0, V, size=(B, T))),
+        "price": jnp.asarray(rng.normal(size=(B, 1)).astype(np.float32)),
+    }
+    labels = jnp.asarray(rng.integers(0, 2, size=B).astype(np.float32))
+    model = DIN(cols, behavior_feature_list=("item_id",))
+    tr = Trainer(model, mesh=mesh)
+    return tr, batch, labels, B
+
+
+def run_case(name, make_case, n):
+    from recommender_system_tpu.parallel.mesh import make_mesh, shard_batch
+
+    devices = jax.devices()[:n]
+    model_axis = 2 if n >= 2 else 1
+    mesh = make_mesh(data=n // model_axis, model=model_axis, devices=devices)
+    tr, batch, labels, B = make_case(mesh, n)
+    state = tr.init(batch)
+    batch = shard_batch(batch, mesh)
+    labels = shard_batch(labels, mesh)
+    step = tr._make_train_step()
+
+    # collective census of the compiled step (same trace-time dispatch flags
+    # the Trainer sets, but without donation so we can lower separately)
+    from recommender_system_tpu.ops import dispatch
+
+    dispatch.set_mesh_mode(True)
+    dispatch.set_fused_opt_mode(tr.fused_embedding is not None)
+    dispatch.set_lookup_mesh(mesh if tr.explicit_lookup else None,
+                             tr.capacity_factor)
+    try:
+        hlo = jax.jit(tr._make_step_body()).lower(
+            state, batch, labels).compile().as_text()
+    finally:
+        dispatch.set_mesh_mode(False)
+        dispatch.set_fused_opt_mode(False)
+        dispatch.set_lookup_mesh(None)
+    counts = {k: v for k, v in collective_counts(hlo).items() if v}
+
+    state, _ = step(state, batch, labels)  # compile via Trainer path
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, out = step(state, batch, labels)
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / STEPS
+    return {"model": name, "n_devices": n, "batch": B,
+            "examples_per_sec": round(B / dt, 1), "collectives": counts}
+
+
+def main():
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    results = []
+    for name, case in (("deepfm_fused_explicit", _deepfm_case),
+                       ("din", _din_case)):
+        for n in (1, 2, 4, 8):
+            r = run_case(name, case, n)
+            results.append(r)
+            print(json.dumps(r))
+    base = {r["model"]: r["examples_per_sec"] for r in results
+            if r["n_devices"] == 1}
+    for r in results:
+        r["weak_scaling_efficiency"] = round(
+            r["examples_per_sec"] / (base[r["model"]] * r["n_devices"]), 3)
+    print(json.dumps({"summary": [
+        {k: r[k] for k in ("model", "n_devices", "examples_per_sec",
+                           "weak_scaling_efficiency")} for r in results]}))
+
+
+if __name__ == "__main__":
+    main()
