@@ -1,0 +1,159 @@
+"""Step-anatomy tool: forward / forward+backward / full-train-step timing for
+any BASELINE.md model config on the real chip, with optional profiler trace.
+
+Consolidates the round-1 one-off profiling scripts (findings recorded in
+BASELINE.md). Timing uses the differential fetch-forced protocol
+(``utils.benchmark``) — ``block_until_ready`` does not wait through the axon
+tunnel.
+
+Usage:
+  python -m benchmarks.model_step --model dien [--batch 8192] [--trace DIR]
+"""
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def timeit(fn, *args, n=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0])  # force through the tunnel
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0])
+    return (time.perf_counter() - t0) / n
+
+
+def make_case(name: str, batch: int):
+    """Returns (model, batch_dict, labels, loss_fn|None) at the BASELINE.md
+    config for ``name``."""
+    from recommender_system_tpu.models import DIEN, DIN, DSSM, DeepFM
+    from recommender_system_tpu.utils.datasets import synthetic_criteo
+    from recommender_system_tpu.utils.features import (DenseFeat, SparseFeat,
+                                                       VarLenSparseFeat)
+
+    rng = np.random.default_rng(0)
+    if name == "deepfm":
+        cols, X, y = synthetic_criteo(n_rows=batch, vocab=100_000,
+                                      embedding_dim=8, seed=0)
+        model = DeepFM(tuple(cols), hidden_units=(256, 128, 64))
+        return model, {k: jnp.asarray(v) for k, v in X.items()}, \
+            jnp.asarray(y), None
+
+    T, V, d = 50, 200_000, 32
+    cols = [
+        SparseFeat("user_id", 100_000, d),
+        SparseFeat("item_id", V, d, embedding_name="item_id"),
+        VarLenSparseFeat(SparseFeat("hist_item_id", V, d,
+                                    embedding_name="item_id"), maxlen=T),
+        DenseFeat("price", 1),
+    ]
+    lengths = rng.integers(5, T + 1, size=batch)
+    hist = rng.integers(1, V, size=(batch, T)).astype(np.int32)
+    hist[np.arange(T)[None, :] >= lengths[:, None]] = 0
+    X = {
+        "user_id": jnp.asarray(rng.integers(1, 100_000, size=batch)),
+        "item_id": jnp.asarray(rng.integers(1, V, size=batch)),
+        "hist_item_id": jnp.asarray(hist),
+        "price": jnp.asarray(rng.normal(size=(batch, 1)).astype(np.float32)),
+    }
+    y = jnp.asarray(rng.integers(0, 2, size=batch).astype(np.float32))
+    if name == "din":
+        return DIN(tuple(cols), behavior_feature_list=("item_id",)), X, y, None
+    if name == "dien":
+        neg = rng.integers(1, V, size=(batch, T)).astype(np.int32)
+        neg[np.arange(T)[None, :] >= lengths[:, None]] = 0
+        cols.append(VarLenSparseFeat(
+            SparseFeat("neg_hist_item_id", V, d, embedding_name="item_id"),
+            maxlen=T))
+        X["neg_hist_item_id"] = jnp.asarray(neg)
+        model = DIEN(tuple(cols), behavior_feature_list=("item_id",),
+                     use_negsampling=True)
+        return model, X, y, None
+    if name == "dssm":
+        from recommender_system_tpu.training.losses import inbatch_softmax_loss
+
+        user_cols = (cols[0], cols[2])
+        item_cols = (cols[1],)
+        model = DSSM(user_cols, item_cols, user_hidden_units=(256, 128, 64),
+                     item_hidden_units=(256, 128, 64))
+        Xs = {k: X[k] for k in ("user_id", "hist_item_id", "item_id")}
+
+        def loss_fn(outputs, labels, b):
+            u, v = outputs
+            return inbatch_softmax_loss(u, v, b["item_id"], temperature=0.05)
+
+        return model, Xs, y, loss_fn
+    raise ValueError(name)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="dien",
+                    choices=["deepfm", "din", "dien", "dssm"])
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
+    ap.add_argument("--fused", action="store_true",
+                    help="use the fused sparse optimizer in the full step")
+    args = ap.parse_args()
+
+    from recommender_system_tpu.training import FusedAdagrad, Trainer
+    from recommender_system_tpu.training.harness import default_loss
+
+    model, batch, labels, loss_fn = make_case(args.model, args.batch)
+    kw = dict(loss_fn=loss_fn) if loss_fn else {}
+    trainer = Trainer(model, optimizer=optax.adagrad(0.05),
+                      fused_embedding=FusedAdagrad(0.05) if args.fused
+                      else None, **kw)
+    state = trainer.init(batch)
+    lf = loss_fn or default_loss
+
+    @jax.jit
+    def fwd(params, batch):
+        return model.apply({"params": params}, batch, train=False)
+
+    t_fwd = timeit(fwd, state.params, batch)
+    print(f"forward only:     {t_fwd*1e3:8.3f} ms "
+          f"({args.batch/t_fwd:,.0f} ex/s)")
+
+    @jax.jit
+    def fwdbwd(params, batch, labels):
+        def loss(p):
+            out = model.apply({"params": p}, batch, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(0)})
+            return lf(out, labels, batch)
+        return jax.grad(loss)(params)
+
+    t_bwd = timeit(fwdbwd, state.params, batch, labels)
+    print(f"forward+backward: {t_bwd*1e3:8.3f} ms "
+          f"(bwd ~{(t_bwd-t_fwd)*1e3:.3f})")
+
+    step = trainer._make_train_step()
+    s, _ = step(state, batch, labels)
+    np.asarray(jax.tree.leaves(s.params)[0][:1])
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        s, loss = step(s, batch, labels)
+    float(jax.tree.leaves(loss)[0] if isinstance(loss, dict) else loss)
+    t_step = (time.perf_counter() - t0) / n
+    print(f"full train step:  {t_step*1e3:8.3f} ms   "
+          f"-> {args.batch/t_step:,.0f} examples/s")
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(5):
+                s, loss = step(s, batch, labels)
+            float(jax.tree.leaves(loss)[0]
+                  if isinstance(loss, dict) else loss)
+        print(f"trace written to {args.trace}")
+
+
+if __name__ == "__main__":
+    main()

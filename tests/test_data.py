@@ -294,3 +294,30 @@ def test_amazon_neg_hist_and_din(tmp_path):
     state = trainer.init({k: jax.numpy.asarray(v[:8]) for k, v in X.items()})
     state, hist = trainer.fit(state, X, ytr, batch_size=16, epochs=6)
     assert hist["loss"][-1] < hist["loss"][0]
+
+
+def test_synthetic_amazon_reviews_din_learns(tmp_path):
+    """The synthetic Amazon fixture (DIN-paper JSON format) flows through
+    load_amazon_reviews/build_amazon_behavior_dataset and carries a signal a
+    behavior model can learn (users stick to 2 preferred categories)."""
+    import optax
+
+    from recommender_system_tpu.models import DIN
+    from recommender_system_tpu.training import Trainer
+    from recommender_system_tpu.utils.datasets import (
+        build_amazon_behavior_dataset, iter_batches, synthetic_amazon_reviews)
+
+    rp, mp = str(tmp_path / "reviews.json"), str(tmp_path / "meta.json")
+    n = synthetic_amazon_reviews(rp, mp, n_users=600, n_items=300,
+                                 n_cates=10, seed=0)
+    assert n > 3000
+    cols, Xtr, ytr, Xte, yte = build_amazon_behavior_dataset(
+        rp, mp, seq_len=20, embedding_dim=8)
+    assert abs(float(ytr.mean()) - 0.5) < 0.01  # 1:1 pos:neg by construction
+    model = DIN(tuple(cols), behavior_feature_list=("item_id", "cate_id"),
+                hidden_units=(64, 32))
+    tr = Trainer(model, optimizer=optax.adam(1e-3))
+    state = tr.init(next(iter_batches(Xtr, ytr, 256))[0])
+    state, hist = tr.fit(state, Xtr, ytr, batch_size=256, epochs=3)
+    metrics = tr.evaluate(state, Xte, yte)
+    assert metrics["auc"] > 0.62, metrics
