@@ -30,7 +30,7 @@ def timeit(fn, *args, n=20):
     return (time.perf_counter() - t0) / n
 
 
-def make_case(name: str, batch: int):
+def make_case(name: str, batch: int, dnn_dtype=None):
     """Returns (model, batch_dict, labels, loss_fn|None) at the BASELINE.md
     config for ``name``."""
     from recommender_system_tpu.models import DIEN, DIN, DSSM, DeepFM
@@ -42,7 +42,8 @@ def make_case(name: str, batch: int):
     if name == "deepfm":
         cols, X, y = synthetic_criteo(n_rows=batch, vocab=100_000,
                                       embedding_dim=8, seed=0)
-        model = DeepFM(tuple(cols), hidden_units=(256, 128, 64))
+        model = DeepFM(tuple(cols), hidden_units=(256, 128, 64),
+                       dnn_dtype=dnn_dtype)
         return model, {k: jnp.asarray(v) for k, v in X.items()}, \
             jnp.asarray(y), None
 
@@ -65,7 +66,8 @@ def make_case(name: str, batch: int):
     }
     y = jnp.asarray(rng.integers(0, 2, size=batch).astype(np.float32))
     if name == "din":
-        return DIN(tuple(cols), behavior_feature_list=("item_id",)), X, y, None
+        return DIN(tuple(cols), behavior_feature_list=("item_id",),
+                   dnn_dtype=dnn_dtype), X, y, None
     if name == "dien":
         neg = rng.integers(1, V, size=(batch, T)).astype(np.int32)
         neg[np.arange(T)[None, :] >= lengths[:, None]] = 0
@@ -74,7 +76,7 @@ def make_case(name: str, batch: int):
             maxlen=T))
         X["neg_hist_item_id"] = jnp.asarray(neg)
         model = DIEN(tuple(cols), behavior_feature_list=("item_id",),
-                     use_negsampling=True)
+                     use_negsampling=True, dnn_dtype=dnn_dtype)
         return model, X, y, None
     if name == "dssm":
         from recommender_system_tpu.training.losses import inbatch_softmax_loss
@@ -101,12 +103,16 @@ def main():
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
     ap.add_argument("--fused", action="store_true",
                     help="use the fused sparse optimizer in the full step")
+    ap.add_argument("--dnn-dtype", default=None,
+                    choices=[None, "bfloat16", "float32"],
+                    help="tower/scorer compute dtype")
     args = ap.parse_args()
 
     from recommender_system_tpu.training import FusedAdagrad, Trainer
     from recommender_system_tpu.training.harness import default_loss
 
-    model, batch, labels, loss_fn = make_case(args.model, args.batch)
+    dnn_dtype = jnp.bfloat16 if args.dnn_dtype == "bfloat16" else None
+    model, batch, labels, loss_fn = make_case(args.model, args.batch, dnn_dtype)
     kw = dict(loss_fn=loss_fn) if loss_fn else {}
     trainer = Trainer(model, optimizer=optax.adagrad(0.05),
                       fused_embedding=FusedAdagrad(0.05) if args.fused
@@ -115,22 +121,32 @@ def main():
     lf = loss_fn or default_loss
 
     @jax.jit
-    def fwd(params, batch):
-        return model.apply({"params": params}, batch, train=False)
+    def fwd(params, batch_stats, batch):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, batch, train=False)
 
-    t_fwd = timeit(fwd, state.params, batch)
+    t_fwd = timeit(fwd, state.params, state.batch_stats, batch)
     print(f"forward only:     {t_fwd*1e3:8.3f} ms "
           f"({args.batch/t_fwd:,.0f} ex/s)")
 
     @jax.jit
-    def fwdbwd(params, batch, labels):
+    def fwdbwd(params, batch_stats, batch, labels):
         def loss(p):
-            out = model.apply({"params": p}, batch, train=True,
-                              rngs={"dropout": jax.random.PRNGKey(0)})
+            variables = {"params": p}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                out, _ = model.apply(
+                    variables, batch, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(0)})
+            else:
+                out = model.apply(variables, batch, train=True,
+                                  rngs={"dropout": jax.random.PRNGKey(0)})
             return lf(out, labels, batch)
         return jax.grad(loss)(params)
 
-    t_bwd = timeit(fwdbwd, state.params, batch, labels)
+    t_bwd = timeit(fwdbwd, state.params, state.batch_stats, batch, labels)
     print(f"forward+backward: {t_bwd*1e3:8.3f} ms "
           f"(bwd ~{(t_bwd-t_fwd)*1e3:.3f})")
 

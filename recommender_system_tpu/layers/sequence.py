@@ -40,6 +40,8 @@ class DinAttention(nn.Module):
     weight_normalization: bool = True
     return_score: bool = False
     use_pallas: Optional[bool] = None
+    # scorer compute dtype ('bfloat16' on TPU; params/softmax/pooling stay f32)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, query, keys, mask, values=None, train: bool = False):
@@ -62,13 +64,14 @@ class DinAttention(nn.Module):
                 query, keys, mask, w1, b1, w2, b2, w3, b3,
                 activation=self.activation,
                 weight_normalization=self.weight_normalization,
-                return_scores=self.return_score, use_pallas=self.use_pallas)
+                return_scores=self.return_score, use_pallas=self.use_pallas,
+                dtype=self.dtype)
 
         if values is None:
             values = keys
         q = jnp.broadcast_to(query[:, None, :], keys.shape)  # tile over T
         att_in = jnp.concatenate([q, keys, q - keys, q * keys], axis=-1)
-        score = DNN(self.hidden_units, activation=self.activation,
+        score = DNN(self.hidden_units, activation=self.activation, dtype=self.dtype,
                     output_dim=1, name="local_activation_unit")(att_in, train=train)
         score = score[..., 0]  # [B, T]
         if self.weight_normalization:

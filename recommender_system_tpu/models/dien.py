@@ -37,13 +37,19 @@ class AuxiliaryNet(nn.Module):
     sigmoid(DNN(concat(state, item_embed))) with a (100, 50) tower."""
 
     hidden_units: Sequence[int] = (100, 50)
+    # compute dtype for the towers (params stay f32; logits return f32)
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, states, item_embeds):  # [B, T, H], [B, T, K]
         x = jnp.concatenate([states, item_embeds], axis=-1)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i, units in enumerate(self.hidden_units):
-            x = jax.nn.sigmoid(nn.Dense(units, name=f"dense_{i}")(x))
-        return nn.Dense(1, name="out")(x)[..., 0]  # logits [B, T]
+            x = jax.nn.sigmoid(nn.Dense(units, dtype=self.dtype,
+                                        name=f"dense_{i}")(x))
+        return nn.Dense(1, name="out")(
+            x.astype(jnp.float32))[..., 0]  # logits [B, T]
 
 
 class DIEN(nn.Module):
@@ -95,7 +101,7 @@ class DIEN(nn.Module):
         if self.use_negsampling:
             neg_keys = jnp.concatenate(
                 [emb.varlen_raw[n] for n in neg_names], axis=-1)
-            aux_net = AuxiliaryNet(name="aux_net")
+            aux_net = AuxiliaryNet(dtype=self.dnn_dtype, name="aux_net")
             h = states[:, :-1, :]          # h_t
             pos = keys[:, 1:, :]           # clicked e_{t+1}
             neg = neg_keys[:, 1:, :]       # sampled non-click
@@ -109,7 +115,7 @@ class DIEN(nn.Module):
         att_scores = DinAttention(
             hidden_units=self.att_hidden_units, activation=self.att_activation,
             weight_normalization=self.att_weight_normalization,
-            return_score=True,
+            return_score=True, dtype=self.dnn_dtype,
             name="attention")(att_query, states, mask, train=train)  # [B, T]
 
         # 4. interest evolution

@@ -43,6 +43,7 @@ class DIN(nn.Module):
 
         att_pooled = DinAttention(
             hidden_units=self.att_hidden_units, activation=self.att_activation,
+            dtype=self.dnn_dtype,
             name="attention")(query, keys, mask, train=train)  # [B, K]
 
         other = [v for n, v in emb.sparse.items()

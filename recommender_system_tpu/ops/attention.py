@@ -24,12 +24,17 @@ def din_attention(query, keys, mask, w1, b1, w2, b2, w3, b3,
                   activation: str = "sigmoid",
                   weight_normalization: bool = True,
                   return_scores: bool = False,
-                  use_pallas: Optional[bool] = None):
-    """query [B,K], keys [B,T,K], mask [B,T] -> pooled [B,K] (or scores [B,T])."""
+                  use_pallas: Optional[bool] = None,
+                  dtype=None):
+    """query [B,K], keys [B,T,K], mask [B,T] -> pooled [B,K] (or scores [B,T]).
+
+    ``dtype`` sets the scorer compute dtype on the XLA path (f32 accumulation,
+    f32 softmax/pooling); the Pallas kernel computes in f32 and ignores it.
+    """
     if dispatch.use_pallas(use_pallas):
         return din_attention_fused(
             query, keys, mask.astype(jnp.float32), w1, b1, w2, b2, w3, b3,
             activation, weight_normalization, return_scores)
     return din_attention_ref(
         query, keys, mask.astype(bool), w1, b1, w2, b2, w3, b3,
-        activation, weight_normalization, return_scores)
+        activation, weight_normalization, return_scores, dtype=dtype)

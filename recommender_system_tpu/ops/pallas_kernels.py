@@ -285,15 +285,23 @@ def _din_pallas(query, keys, mask, w1, b1, w2, b2, w3, b3, activation,
 def din_attention_ref(query, keys, mask, w1, b1, w2, b2, w3, b3,
                       activation: str = "sigmoid",
                       weight_normalization: bool = True,
-                      return_scores: bool = False):
+                      return_scores: bool = False,
+                      dtype=None):
     """Pure-jax reference: tile-query 4-way concat MLP scorer + masked softmax
-    + pooling (``Attention.call``, ``layer/interaction.py:369-406``)."""
+    + pooling (``Attention.call``, ``layer/interaction.py:369-406``).
+
+    ``dtype`` (e.g. ``jnp.bfloat16``) sets the scorer's matmul/activation
+    compute dtype — params stay f32, accumulation is f32, and the masked
+    softmax + pooling run in f32. Halves the [B, T, h1]/[B, T, h2]
+    intermediate HBM traffic on TPU.
+    """
     if activation == "sigmoid":
         act = jax.nn.sigmoid
     elif activation == "relu":
         act = jax.nn.relu
     else:
         raise ValueError(activation)
+    cdt = dtype or jnp.float32
     # Concat-folded first layer: with w1 = [wq; wk; wm; wp] (4K x h1),
     #   concat([q, k, q-k, q*k]) @ w1
     #     == q @ (wq + wm)  +  k @ (wk - wm)  +  (q*k) @ wp
@@ -301,14 +309,18 @@ def din_attention_ref(query, keys, mask, w1, b1, w2, b2, w3, b3,
     # plus its cotangent) is never materialized. The query term is [B, h1]
     # broadcast over T.
     K = keys.shape[-1]
+    w1 = w1.astype(cdt)
+    q_c, keys_c = query.astype(cdt), keys.astype(cdt)
     wq, wk, wm, wp = w1[:K], w1[K:2 * K], w1[2 * K:3 * K], w1[3 * K:]
-    h_pre = (jnp.dot(query, wq + wm, preferred_element_type=jnp.float32)[:, None, :]
-             + jnp.dot(keys, wk - wm, preferred_element_type=jnp.float32)
-             + jnp.dot(query[:, None, :] * keys, wp,
+    h_pre = (jnp.dot(q_c, wq + wm, preferred_element_type=jnp.float32)[:, None, :]
+             + jnp.dot(keys_c, wk - wm, preferred_element_type=jnp.float32)
+             + jnp.dot(q_c[:, None, :] * keys_c, wp,
                        preferred_element_type=jnp.float32))
-    h = act(h_pre + b1)
-    h = act(jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2)
-    score = (jnp.dot(h, w3, preferred_element_type=jnp.float32) + b3)[..., 0]
+    h = act(h_pre + b1).astype(cdt)
+    h = act(jnp.dot(h, w2.astype(cdt),
+                    preferred_element_type=jnp.float32) + b2).astype(cdt)
+    score = (jnp.dot(h, w3.astype(cdt),
+                     preferred_element_type=jnp.float32) + b3)[..., 0]
     valid = mask
     if weight_normalization:
         score = jax.nn.softmax(jnp.where(valid, score, NEG_INF), axis=-1)
