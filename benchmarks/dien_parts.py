@@ -75,7 +75,7 @@ def att_fwdbwd(v, q, k):
 t = bench_fn(att_fwdbwd, avars, q, hstates[:, :T - 1])
 print(f"att fwd+bwd:    {t*1e3:8.3f} ms")
 
-# embedding path: 2x [B,T] + 2x [B] lookups from 200k x 32 packed stack,
+# embedding path: 2x [B,T] + 2x [B] lookups from a 200k x 128 packed stack,
 # fwd+bwd through the Trainer's packed path is complex; approximate with
 # raw gathers
 V = 200_000

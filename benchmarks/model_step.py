@@ -84,7 +84,7 @@ def make_case(name: str, batch: int, dnn_dtype=None):
         user_cols = (cols[0], cols[2])
         item_cols = (cols[1],)
         model = DSSM(user_cols, item_cols, user_hidden_units=(256, 128, 64),
-                     item_hidden_units=(256, 128, 64))
+                     item_hidden_units=(256, 128, 64), dnn_dtype=dnn_dtype)
         Xs = {k: X[k] for k in ("user_id", "hist_item_id", "item_id")}
 
         def loss_fn(outputs, labels, b):
@@ -104,8 +104,8 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="use the fused sparse optimizer in the full step")
     ap.add_argument("--dnn-dtype", default=None,
-                    choices=[None, "bfloat16", "float32"],
-                    help="tower/scorer compute dtype")
+                    choices=["bfloat16", "float32"],
+                    help="tower/scorer compute dtype (default: float32)")
     args = ap.parse_args()
 
     from recommender_system_tpu.training import FusedAdagrad, Trainer

@@ -11,6 +11,7 @@ Reference semantics: ``Attention.call`` (``layer/interaction.py:369-406``) and
 """
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import jax
@@ -32,6 +33,10 @@ def din_attention(query, keys, mask, w1, b1, w2, b2, w3, b3,
     f32 softmax/pooling); the Pallas kernel computes in f32 and ignores it.
     """
     if dispatch.use_pallas(use_pallas):
+        if dtype is not None:
+            warnings.warn(
+                "din_attention: the Pallas kernel computes in f32; "
+                f"dtype={dtype} is ignored on this path", stacklevel=2)
         return din_attention_fused(
             query, keys, mask.astype(jnp.float32), w1, b1, w2, b2, w3, b3,
             activation, weight_normalization, return_scores)

@@ -168,3 +168,43 @@ def test_din_attention_concat_folding_exact():
     want = jnp.einsum("bt,btk->bk", score, keys)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_din_attention_bf16_scorer_parity():
+    """dtype=bfloat16 must (a) still return f32 outputs (softmax/pooling stay
+    f32) and (b) track the f32 reference within bf16 tolerance, for both
+    return_score modes and the DIEN AuxiliaryNet logits (ADVICE r2)."""
+    import jax
+    import jax.numpy as jnp
+    from recommender_system_tpu.layers.sequence import DinAttention
+    from recommender_system_tpu.models.dien import AuxiliaryNet
+
+    rng = np.random.default_rng(7)
+    B, T, K = 8, 12, 16
+    q = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    keys = jnp.asarray(rng.standard_normal((B, T, K)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(B, T)) > 0.3)
+    mask = mask.at[:, 0].set(True)  # no empty rows
+
+    for return_score in (False, True):
+        ref_mod = DinAttention(hidden_units=(16, 8), use_pallas=False,
+                               return_score=return_score)
+        variables = ref_mod.init(jax.random.PRNGKey(0), q, keys, mask)
+        ref = ref_mod.apply(variables, q, keys, mask)
+        bf_mod = DinAttention(hidden_units=(16, 8), use_pallas=False,
+                              return_score=return_score, dtype=jnp.bfloat16)
+        got = bf_mod.apply(variables, q, keys, mask)
+        assert got.dtype == jnp.float32, (return_score, got.dtype)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0.05, atol=0.02)
+
+    H = 16
+    states = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+    items = jnp.asarray(rng.standard_normal((B, T, K)), jnp.float32)
+    ref_net = AuxiliaryNet()
+    variables = ref_net.init(jax.random.PRNGKey(1), states, items)
+    ref = ref_net.apply(variables, states, items)
+    got = AuxiliaryNet(dtype=jnp.bfloat16).apply(variables, states, items)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
