@@ -44,8 +44,19 @@ class ExperimentConfig:
     dnn_dtype: Optional[str] = None
     # fused sparse embedding optimizer (in-place Pallas scatter kernel, the
     # production path — ops/fused_adagrad.py): None | 'adagrad' | 'sgd' |
-    # 'adam' (lazy). Uses learning_rate; single-device only (see Trainer).
+    # 'adam' (lazy). Uses learning_rate; composes with a mesh via the
+    # sharded all-to-all exchange (parallel/fused.py).
     fused_embedding: Optional[str] = None
+
+    # out-of-core streaming (criteo-format TSV only): train via
+    # Trainer.fit_stream over utils.datasets.stream_criteo — bounded RSS,
+    # background C++ chunk parsing. Requires data_path; hash_buckets
+    # defaults to 1M. stream_eval_path: optional held-out TSV scored with
+    # streaming AUC after training.
+    stream: bool = False
+    stream_chunk_rows: int = 1 << 18
+    stream_prefetch: int = 2
+    stream_eval_path: Optional[str] = None
 
     # parallelism (None = single device)
     mesh_data: Optional[int] = None

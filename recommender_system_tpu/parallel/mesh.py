@@ -107,11 +107,13 @@ def expert_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def _rule(path, leaf, mesh: Mesh):
+def _rule(path, leaf, mesh: Mesh, column_sharding: bool = True):
     if is_embedding_table_path(path) and getattr(leaf, "ndim", 0) == 2:
         dim = _table_dim_from_path(path)
         n_model = mesh.shape[MODEL_AXIS]
-        if (dim is not None and dim >= COLUMN_SHARD_MIN_DIM and n_model > 1
+        if (column_sharding
+                and dim is not None and dim >= COLUMN_SHARD_MIN_DIM
+                and n_model > 1
                 and leaf.shape[0] % mesh.shape[DATA_AXIS] == 0
                 and leaf.shape[1] % n_model == 0):
             return wide_table_sharding(mesh)
@@ -122,11 +124,18 @@ def _rule(path, leaf, mesh: Mesh):
     return replicated(mesh)
 
 
-def param_shardings(params, mesh: Mesh):
+def param_shardings(params, mesh: Mesh, column_sharding: bool = True):
     """NamedSharding pytree: table stacks row-sharded, MMoE experts
-    expert-sharded over 'model', everything else replicated."""
+    expert-sharded over 'model', everything else replicated.
+
+    ``column_sharding=False`` forces 1-D row sharding (``P(axes, None)``)
+    for every stack regardless of width. The explicit shard_map paths
+    (``parallel.fused.alltoall_take`` / ``sharded_fused_update``) hard-assume
+    the 1-D block layout; leaving a wide stack on ``P('data','model')`` there
+    would make shard_map silently reshard it every step (VERDICT r2 #7), so
+    the Trainer passes False whenever those paths are active."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: _rule(path, leaf, mesh), params)
+        lambda path, leaf: _rule(path, leaf, mesh, column_sharding), params)
 
 
 def shard_batch(batch, mesh: Mesh):
@@ -134,13 +143,14 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
-def shard_state(state, mesh: Mesh):
+def shard_state(state, mesh: Mesh, column_sharding: bool = True):
     """Place a TrainState: params/opt_state by param rules, scalars replicated."""
-    shardings = state_shardings(state, mesh)
+    shardings = state_shardings(state, mesh, column_sharding)
     return jax.tree.map(jax.device_put, state, shardings)
 
 
-def state_shardings(state, mesh: Mesh):
-    """Sharding pytree matching a TrainState (opt_state mirrors params rules)."""
+def state_shardings(state, mesh: Mesh, column_sharding: bool = True):
+    """Sharding pytree matching a TrainState (opt_state mirrors params rules).
+    ``column_sharding`` as in :func:`param_shardings`."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: _rule(path, leaf, mesh), state)
+        lambda path, leaf: _rule(path, leaf, mesh, column_sharding), state)

@@ -187,6 +187,85 @@ def make_loss_fn(config: ExperimentConfig):
     return default_loss
 
 
+def run_stream(config: ExperimentConfig) -> dict:
+    """Out-of-core path: train over ``stream_criteo`` batches (bounded RSS).
+
+    The north-star full-Criteo config launched from the CLI:
+        python -m recommender_system_tpu.train --stream --data-path train.txt \\
+            --fused-embedding adagrad --batch-size 16384 --hash-buckets 1000000
+    Generalizes the reference's whole-file loader (``utils/dataset.py:36-75``)
+    to files that don't fit in memory.
+    """
+    import jax
+
+    from .training import Trainer
+    from .utils.datasets import criteo_columns, stream_criteo
+
+    if not config.data_path:
+        raise ValueError("--stream requires --data-path <criteo tsv>")
+    hash_buckets = config.hash_buckets or 1_000_000
+    columns = criteo_columns(embedding_dim=config.embedding_dim,
+                             hash_buckets=hash_buckets)
+    model = build_model(config, columns)
+    fused = None
+    if config.fused_embedding:
+        from .training import FusedAdagrad, FusedAdam, FusedSGD
+
+        fused = {"adagrad": FusedAdagrad, "sgd": FusedSGD,
+                 "adam": FusedAdam}[config.fused_embedding](
+                     config.learning_rate)
+    trainer = Trainer(model, optimizer=config.build_optimizer(),
+                      loss_fn=make_loss_fn(config), seed=config.seed,
+                      weight_decay=config.weight_decay,
+                      mesh=config.build_mesh(), fused_embedding=fused)
+
+    def stream(path, epochs):
+        return stream_criteo(
+            path, batch_size=config.batch_size, hash_buckets=hash_buckets,
+            chunk_rows=config.stream_chunk_rows, epochs=epochs,
+            prefetch_chunks=config.stream_prefetch)
+
+    first = next(stream(config.data_path, 1))
+    state = trainer.init(first[0])
+    if config.profile_dir:
+        jax.profiler.start_trace(config.profile_dir)
+    for epoch in range(config.epochs):
+        state, history = trainer.fit_stream(
+            state, stream(config.data_path, 1), log_every=config.log_every)
+    if config.profile_dir:
+        jax.profiler.stop_trace()
+    if config.checkpoint_dir:
+        from .training.checkpoint import save_checkpoint
+
+        save_checkpoint(config.checkpoint_dir, state)
+    result = {
+        "model": config.model,
+        "train_loss": history["loss"],
+        "examples_per_sec": round(float(np.mean(
+            history["examples_per_sec"])), 1),
+    }
+    if "embedding_overflow" in history:
+        result["embedding_overflow"] = history["embedding_overflow"]
+    if config.stream_eval_path:
+        from .utils.metrics import StreamingAUC
+
+        stream_auc = StreamingAUC()
+        eval_step = trainer._make_eval_step()
+        n, ll_sum = 0, 0.0
+        for xb, yb in stream(config.stream_eval_path, 1):
+            logits = np.asarray(eval_step(
+                state.params, state.batch_stats, xb)).ravel()
+            probs = 1.0 / (1.0 + np.exp(-logits))
+            stream_auc.update(yb, probs)
+            p = np.clip(probs, 1e-7, 1 - 1e-7)
+            ll_sum += float(-(yb * np.log(p)
+                              + (1 - yb) * np.log(1 - p)).sum())
+            n += len(yb)
+        result["auc"] = round(stream_auc.result(), 4)
+        result["logloss"] = round(ll_sum / max(n, 1), 4)
+    return result
+
+
 def run(config: ExperimentConfig) -> dict:
     import jax
 
@@ -195,6 +274,8 @@ def run(config: ExperimentConfig) -> dict:
                                       save_checkpoint)
     from .utils.datasets import iter_batches
 
+    if config.stream:
+        return run_stream(config)
     columns, X_train, y_train, X_test, y_test = build_data(config)
     model = build_model(config, columns)
     fused = None
@@ -286,6 +367,18 @@ def parse_args(argv=None) -> ExperimentConfig:
                    help="deep-tower compute dtype (params stay f32)")
     p.add_argument("--dssm-loss", default=defaults.dssm_loss,
                    choices=["inbatch", "logistic"])
+    p.add_argument("--stream", action="store_true",
+                   help="out-of-core training over a criteo-format TSV "
+                        "(bounded RSS; requires --data-path)")
+    p.add_argument("--stream-chunk-rows", type=int,
+                   default=defaults.stream_chunk_rows,
+                   help="rows per parsed chunk in --stream mode")
+    p.add_argument("--stream-prefetch", type=int,
+                   default=defaults.stream_prefetch,
+                   help="parsed chunks resident ahead of the device step")
+    p.add_argument("--stream-eval-path", default=None,
+                   help="held-out criteo TSV scored with streaming AUC "
+                        "after --stream training")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile-dir", default=None)
@@ -301,6 +394,9 @@ def parse_args(argv=None) -> ExperimentConfig:
         seed=args.seed, dssm_loss=args.dssm_loss, dnn_dtype=args.dnn_dtype,
         fused_embedding=args.fused_embedding,
         mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+        stream=args.stream, stream_chunk_rows=args.stream_chunk_rows,
+        stream_prefetch=args.stream_prefetch,
+        stream_eval_path=args.stream_eval_path,
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         profile_dir=args.profile_dir, log_every=args.log_every)
 

@@ -239,7 +239,13 @@ class Trainer:
                            opt_state=opt_state, step=jnp.int32(0), rng=state_rng)
         if self.mesh is not None:
             from ..parallel.mesh import shard_state
-            state = shard_state(state, self.mesh)
+            # the explicit shard_map paths (fused update / explicit lookup)
+            # hard-assume the 1-D P(axes, None) block layout; 2-D column
+            # sharding of wide stacks is GSPMD-only (parallel.mesh._rule)
+            column_sharding = (self.fused_embedding is None
+                               and not self.explicit_lookup)
+            state = shard_state(state, self.mesh,
+                                column_sharding=column_sharding)
         return state
 
     def _place_batch(self, batch, labels=None):

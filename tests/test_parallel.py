@@ -160,3 +160,53 @@ def test_wide_table_column_sharding_rule(mesh, rng):
     g_ref = jax.grad(loss)(jnp.asarray(wide))
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_wide_table_fused_trainer_forces_row_sharding(mesh, rng):
+    """Under Trainer(mesh, fused_embedding) / explicit_lookup, a dim>=64
+    stack must FALL BACK to 1-D row sharding: the shard_map paths
+    (parallel.fused) hard-assume P(axes, None), and a P('data','model')
+    stack would be silently resharded every step (VERDICT r2 #7)."""
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    from recommender_system_tpu.models import DIN
+    from recommender_system_tpu.training import FusedAdagrad, Trainer
+    from recommender_system_tpu.utils.features import (DenseFeat, SparseFeat,
+                                                       VarLenSparseFeat)
+
+    # DIN with d=64 -> EmbeddingCollection packs a [512, 128] table_d64
+    # stack, which the GSPMD rule column-shards (128 lanes % 2 == 0)
+    cols = (SparseFeat("user_id", 64, 64),
+            SparseFeat("item_id", 64, 64, embedding_name="item_id"),
+            VarLenSparseFeat(SparseFeat("hist_item_id", 64, 64,
+                                        embedding_name="item_id"), maxlen=4),
+            DenseFeat("price", 1))
+    B = 64
+    X = {"user_id": rng.integers(1, 64, B),
+         "item_id": rng.integers(1, 64, B),
+         "hist_item_id": rng.integers(0, 64, (B, 4)),
+         "price": rng.normal(size=(B, 1)).astype(np.float32)}
+    y = rng.integers(0, 2, B).astype(np.float32)
+
+    def table_spec(state):
+        stacks = [v for p, v in jax.tree_util.tree_leaves_with_path(
+            state.params) if "table_d64" in jax.tree_util.keystr(p)]
+        assert stacks, "expected a table_d64 stack"
+        return stacks[0].sharding.spec
+
+    model = DIN(cols, behavior_feature_list=("item_id",))
+    # plain GSPMD trainer: wide stack gets the 2-D column sharding
+    tr_plain = Trainer(model, mesh=mesh)
+    assert table_spec(tr_plain.init(X)) == P("data", "model")
+
+    # fused / explicit trainers: forced back to 1-D row sharding
+    for kw in (dict(fused_embedding=FusedAdagrad(0.05)),
+               dict(explicit_lookup=True)):
+        tr = Trainer(model, optimizer=optax.adagrad(0.05), mesh=mesh,
+                     capacity_factor=8.0, **kw)
+        state = tr.init(X)
+        assert table_spec(state) == P(("data", "model"), None), kw
+        state, hist = tr.fit(state, X, y, batch_size=B, epochs=1,
+                             shuffle=False)
+        assert np.isfinite(hist["loss"][0])

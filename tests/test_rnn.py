@@ -95,3 +95,47 @@ def test_lstm_shapes_and_mask(rng):
     assert outs.shape == (B, T, H)
     np.testing.assert_allclose(np.asarray(outs)[0, 2], np.asarray(h)[0],
                                rtol=1e-6)
+
+
+def test_gru_remat_and_bf16_variants(rng):
+    """remat must be bit-identical in forward and match gradients closely;
+    bf16 gate compute must track f32 within bf16 tolerance (f32 carry/outs)."""
+    B, T, D, H = 4, 6, 5, 4
+    params = init_gru_params(jax.random.PRNGKey(6), D, H)
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    att = jnp.asarray(rng.uniform(size=(B, T)).astype(np.float32))
+    mask = jnp.asarray(np.array([[1, 1, 1, 1, 0, 0]] * 4, bool))
+
+    def loss_gru(p, x, **kw):
+        outs, h = gru(p, x, mask=mask, **kw)
+        return jnp.sum(outs * outs) + jnp.sum(h)
+
+    base = loss_gru(params, x)
+    gbase = jax.grad(loss_gru, argnums=(0, 1))(params, x)
+    # remat: same math, same forward value, same gradients
+    np.testing.assert_allclose(float(loss_gru(params, x, remat=True)),
+                               float(base), rtol=1e-6)
+    gremat = jax.grad(lambda p, x: loss_gru(p, x, remat=True),
+                      argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(gbase), jax.tree.leaves(gremat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # bf16 gates: outputs still f32, close to f32 math
+    outs16, h16 = gru(params, x, mask=mask, dtype=jnp.bfloat16)
+    assert outs16.dtype == jnp.float32
+    outs32, _ = gru(params, x, mask=mask)
+    np.testing.assert_allclose(np.asarray(outs16), np.asarray(outs32),
+                               rtol=0.1, atol=0.05)
+
+    def loss_augru(p, x, a, **kw):
+        outs, h = augru(p, x, a, mask=mask, **kw)
+        return jnp.sum(h)
+
+    np.testing.assert_allclose(float(loss_augru(params, x, att, remat=True)),
+                               float(loss_augru(params, x, att)), rtol=1e-6)
+    ga = jax.grad(loss_augru, argnums=(0, 1, 2))(params, x, att)
+    gar = jax.grad(lambda p, x, a: loss_augru(p, x, a, remat=True),
+                   argnums=(0, 1, 2))(params, x, att)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gar)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
