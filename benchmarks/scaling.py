@@ -68,14 +68,12 @@ def _deepfm_case(mesh, n):
     return tr, batch, labels, B
 
 
-def _din_case(mesh, n):
-    from recommender_system_tpu.models import DIN
-    from recommender_system_tpu.training import Trainer
+def _din_batch(n):
+    rng = np.random.default_rng(0)
+    B, T, V = PER_DEVICE_BATCH * n, 16, VOCAB
     from recommender_system_tpu.utils.features import (DenseFeat, SparseFeat,
                                                        VarLenSparseFeat)
 
-    rng = np.random.default_rng(0)
-    B, T, V = PER_DEVICE_BATCH * n, 16, VOCAB
     cols = (
         SparseFeat("user_id", V, 8),
         SparseFeat("item_id", V, 8, embedding_name="item_id"),
@@ -90,9 +88,72 @@ def _din_case(mesh, n):
         "price": jnp.asarray(rng.normal(size=(B, 1)).astype(np.float32)),
     }
     labels = jnp.asarray(rng.integers(0, 2, size=B).astype(np.float32))
+    return cols, batch, labels, B
+
+
+def _din_case(mesh, n):
+    from recommender_system_tpu.models import DIN
+    from recommender_system_tpu.training import Trainer
+
+    cols, batch, labels, B = _din_batch(n)
     model = DIN(cols, behavior_feature_list=("item_id",))
     tr = Trainer(model, mesh=mesh)
     return tr, batch, labels, B
+
+
+def _din_fused_explicit_case(mesh, n):
+    """DIN under the PRODUCTION path: fused sparse optimizer + explicit
+    lookup — multi-site shared-table cotangents ([B,T] hist + [B] item)
+    through sharded_fused_update (VERDICT r2 #3)."""
+    import optax
+
+    from recommender_system_tpu.models import DIN
+    from recommender_system_tpu.training import FusedAdagrad, Trainer
+
+    cols, batch, labels, B = _din_batch(n)
+    model = DIN(cols, behavior_feature_list=("item_id",))
+    tr = Trainer(model, optimizer=optax.adagrad(0.05),
+                 fused_embedding=FusedAdagrad(0.05), mesh=mesh,
+                 capacity_factor=float(max(2, n)), explicit_lookup=True)
+    return tr, batch, labels, B
+
+
+def _dssm_explicit_dense_case(mesh, n):
+    """DSSM with explicit_lookup under DENSE optax: the census covers the
+    *gradient* of alltoall_take (AD transposes the two all_to_alls + a
+    fill-gather into a scatter-add on the owning shard) — asserting the
+    compiled backward does not densify the stacks (VERDICT r2 #10)."""
+    from recommender_system_tpu.models import DSSM
+    from recommender_system_tpu.training import Trainer
+    from recommender_system_tpu.training.losses import inbatch_softmax_loss
+
+    cols, batch, labels, B = _din_batch(n)
+    user_cols = (cols[0], cols[2])
+    item_cols = (cols[1],)
+    model = DSSM(user_cols, item_cols, user_hidden_units=(64, 32),
+                 item_hidden_units=(64, 32))
+    bat = {k: batch[k] for k in ("user_id", "hist_item_id", "item_id")}
+
+    def loss_fn(outputs, labels, b):
+        u, v = outputs
+        return inbatch_softmax_loss(u, v, b["item_id"], temperature=0.05)
+
+    tr = Trainer(model, loss_fn=loss_fn, mesh=mesh,
+                 capacity_factor=float(max(2, n)), explicit_lookup=True)
+    return tr, bat, labels, B
+
+
+def stack_allgather_shapes(hlo_text: str, min_rows: int):
+    """f32/bf16 all-gather output shapes whose leading dim reaches
+    ``min_rows`` — evidence a full embedding stack is being densified.
+    (s32 id-stream all-gathers are resharding of [B]-sized index vectors,
+    not table rows, and are excluded.)"""
+    bad = []
+    for m in re.finditer(r"= (?:f32|bf16)\[(\d+)(?:,\d+)*\]\S* all-gather",
+                         hlo_text):
+        if int(m.group(1)) >= min_rows:
+            bad.append(m.group(0))
+    return bad
 
 
 def run_case(name, make_case, n):
@@ -123,6 +184,14 @@ def run_case(name, make_case, n):
         dispatch.set_fused_opt_mode(False)
         dispatch.set_lookup_mesh(None)
     counts = {k: v for k, v in collective_counts(hlo).items() if v}
+    # any full-stack all-gather (leading dim >= the smallest stack's rows)
+    # means GSPMD is densifying a table — the thing the explicit paths exist
+    # to prevent
+    min_stack_rows = min(
+        (v.shape[0] for p, v in jax.tree_util.tree_leaves_with_path(
+            state.params) if "table_d" in jax.tree_util.keystr(p)),
+        default=1 << 30)
+    stack_ags = stack_allgather_shapes(hlo, min_stack_rows)
 
     state, _ = step(state, batch, labels)  # compile via Trainer path
     jax.block_until_ready(state.params)
@@ -132,15 +201,18 @@ def run_case(name, make_case, n):
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / STEPS
     return {"model": name, "n_devices": n, "batch": B,
-            "examples_per_sec": round(B / dt, 1), "collectives": counts}
+            "examples_per_sec": round(B / dt, 1), "collectives": counts,
+            "stack_allgathers": stack_ags}
 
 
-def main():
+def main(out_path=None):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
     results = []
     for name, case in (("deepfm_fused_explicit", _deepfm_case),
-                       ("din", _din_case)):
+                       ("din", _din_case),
+                       ("din_fused_explicit", _din_fused_explicit_case),
+                       ("dssm_explicit_dense", _dssm_explicit_dense_case)):
         for n in (1, 2, 4, 8):
             r = run_case(name, case, n)
             results.append(r)
@@ -150,10 +222,17 @@ def main():
     for r in results:
         r["weak_scaling_efficiency"] = round(
             r["examples_per_sec"] / (base[r["model"]] * r["n_devices"]), 3)
-    print(json.dumps({"summary": [
+    summary = {"summary": [
         {k: r[k] for k in ("model", "n_devices", "examples_per_sec",
-                           "weak_scaling_efficiency")} for r in results]}))
+                           "weak_scaling_efficiency")} for r in results],
+        "any_stack_allgather": any(r["stack_allgathers"] for r in results)}
+    print(json.dumps(summary))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"results": results, **summary}, f, indent=1)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

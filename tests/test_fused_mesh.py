@@ -196,3 +196,91 @@ def test_trainer_mesh_fused_fit_and_overflow_history(mesh):
     st2 = tr2.init(batch)
     st2, hist2 = tr2.fit(st2, X, y, batch_size=64, epochs=1)
     assert hist2["embedding_overflow"][0] > 0
+
+
+def _din_setup(rng, B=256, T=8, V=64):
+    from recommender_system_tpu.utils.features import (DenseFeat, SparseFeat,
+                                                       VarLenSparseFeat)
+
+    cols = (
+        SparseFeat("user_id", V, 8),
+        SparseFeat("item_id", V, 8, embedding_name="item_id"),
+        VarLenSparseFeat(SparseFeat("hist_item_id", V, 8,
+                                    embedding_name="item_id"), maxlen=T),
+        DenseFeat("price", 1),
+    )
+    X = {
+        "user_id": jnp.asarray(rng.integers(1, V, size=B)),
+        "item_id": jnp.asarray(rng.integers(1, V, size=B)),
+        "hist_item_id": jnp.asarray(rng.integers(0, V, size=(B, T))),
+        "price": jnp.asarray(rng.normal(size=(B, 1)).astype(np.float32)),
+    }
+    y = jnp.asarray(rng.integers(0, 2, size=B).astype(np.float32))
+    return cols, X, y
+
+
+def test_din_mesh_fused_explicit_matches_single_device(mesh, rng):
+    """DIN under Trainer(mesh, fused_embedding, explicit_lookup): varlen
+    history + shared item_id table -> MULTI-SITE cotangents ([B,T] hist +
+    [B] item through one stack) through sharded_fused_update, vs the
+    single-device fused trainer (VERDICT r2 #3)."""
+    from recommender_system_tpu.models import DIN
+
+    cols, X, y = _din_setup(rng)
+    lr = 0.05
+    model = DIN(cols, behavior_feature_list=("item_id",))
+
+    single = Trainer(model, optimizer=optax.adagrad(lr), seed=3,
+                     fused_embedding=FusedAdagrad(lr))
+    sharded = Trainer(model, optimizer=optax.adagrad(lr), seed=3,
+                      fused_embedding=FusedAdagrad(lr), mesh=mesh,
+                      capacity_factor=8.0, explicit_lookup=True)
+    ss, ms = single.init(X), sharded.init(X)
+    s_step, m_step = single._make_train_step(), sharded._make_train_step()
+    for i in range(3):
+        ss, sl = s_step(ss, X, y)
+        ms, out = m_step(ms, X, y)
+        assert int(out["embedding_overflow"]) == 0
+        np.testing.assert_allclose(float(out["loss"]), float(sl), rtol=2e-3,
+                                   err_msg=f"loss diverged at step {i}")
+    s_stack = np.asarray(ss.params["embeddings"]["table_d8"])
+    m_stack = np.asarray(ms.params["embeddings"]["table_d8"])
+    np.testing.assert_allclose(m_stack, s_stack, rtol=5e-3, atol=5e-4)
+
+
+def test_dssm_mesh_explicit_matches_single_device(mesh, rng):
+    """DSSM (two towers, shared item_id table, dense optax) under
+    Trainer(mesh, explicit_lookup): the gradient of alltoall_take feeds the
+    dense optimizer — parity vs the single-device trainer."""
+    from recommender_system_tpu.models import DSSM
+    from recommender_system_tpu.training.losses import inbatch_softmax_loss
+    from recommender_system_tpu.utils.features import (SparseFeat,
+                                                       VarLenSparseFeat)
+
+    cols, X, y = _din_setup(rng)
+    user_cols = (cols[0], cols[2])
+    item_cols = (cols[1],)
+    Xs = {k: X[k] for k in ("user_id", "hist_item_id", "item_id")}
+    model = DSSM(user_cols, item_cols, user_hidden_units=(16, 8),
+                 item_hidden_units=(16, 8))
+
+    def loss_fn(outputs, labels, b):
+        u, v = outputs
+        return inbatch_softmax_loss(u, v, b["item_id"], temperature=0.05)
+
+    single = Trainer(model, loss_fn=loss_fn, seed=3,
+                     optimizer=optax.adagrad(0.05))
+    sharded = Trainer(model, loss_fn=loss_fn, seed=3,
+                      optimizer=optax.adagrad(0.05), mesh=mesh,
+                      capacity_factor=8.0, explicit_lookup=True)
+    ss, ms = single.init(Xs), sharded.init(Xs)
+    s_step, m_step = single._make_train_step(), sharded._make_train_step()
+    for i in range(3):
+        ss, sl = s_step(ss, Xs, y)
+        ms, ml = m_step(ms, Xs, y)
+        np.testing.assert_allclose(float(ml), float(sl), rtol=2e-3,
+                                   err_msg=f"loss diverged at step {i}")
+    for key in ss.params["embeddings"]:
+        np.testing.assert_allclose(
+            np.asarray(ms.params["embeddings"][key]),
+            np.asarray(ss.params["embeddings"][key]), rtol=5e-3, atol=5e-4)
