@@ -54,7 +54,8 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
-    # per-column token pools (vocab 50k..200k) of 8-hex-char tokens
+    # per-column token pools (vocab 50k/200k/350k/500k cycling) of
+    # 8-hex-char tokens
     pools, effects = [], []
     for i in range(N_SPARSE):
         vocab = int(50_000 * (1 + 3 * (i % 4)))
@@ -63,12 +64,14 @@ def main():
         effects.append(0.25 * np.sin(np.arange(vocab) * (i + 1) * 0.37))
 
     written = 0
+    milestone = 0
     with open(args.out, "wb") as f:
         while written < args.rows:
             n = min(args.chunk, args.rows - written)
             f.write(gen_chunk(rng, n, pools, effects))
             written += n
-            if written % 2_000_000 < args.chunk:
+            if written // 2_000_000 > milestone:
+                milestone = written // 2_000_000
                 print(f"{written:,} rows", flush=True)
     print(f"wrote {written:,} rows to {args.out}")
 

@@ -61,6 +61,13 @@ class ExperimentConfig:
     # parallelism (None = single device)
     mesh_data: Optional[int] = None
     mesh_model: int = 1
+    # mesh-only production-path knobs (ignored without a mesh): route the
+    # forward embedding gather through the explicit shard_map all-to-all
+    # exchange (parallel/fused.py alltoall_take) instead of GSPMD's
+    # synthesized gather, and bound the per-destination exchange buckets
+    # (over-capacity updates are dropped and counted in the fit history).
+    explicit_lookup: bool = False
+    capacity_factor: float = 2.0
 
     # persistence / observability
     checkpoint_dir: Optional[str] = None

@@ -217,7 +217,9 @@ def run_stream(config: ExperimentConfig) -> dict:
     trainer = Trainer(model, optimizer=config.build_optimizer(),
                       loss_fn=make_loss_fn(config), seed=config.seed,
                       weight_decay=config.weight_decay,
-                      mesh=config.build_mesh(), fused_embedding=fused)
+                      mesh=config.build_mesh(), fused_embedding=fused,
+                      explicit_lookup=config.explicit_lookup,
+                      capacity_factor=config.capacity_factor)
 
     def stream(path, epochs):
         return stream_criteo(
@@ -225,13 +227,23 @@ def run_stream(config: ExperimentConfig) -> dict:
             chunk_rows=config.stream_chunk_rows, epochs=epochs,
             prefetch_chunks=config.stream_prefetch)
 
-    first = next(stream(config.data_path, 1))
+    import itertools
+
+    # pull one batch for init, then hand the SAME generator (first batch
+    # re-chained) to epoch 0 — no abandoned background parser thread
+    first_stream = stream(config.data_path, 1)
+    first = next(first_stream)
     state = trainer.init(first[0])
     if config.profile_dir:
         jax.profiler.start_trace(config.profile_dir)
+    history = {"loss": [], "examples_per_sec": []}
     for epoch in range(config.epochs):
-        state, history = trainer.fit_stream(
-            state, stream(config.data_path, 1), log_every=config.log_every)
+        epoch_stream = (itertools.chain([first], first_stream) if epoch == 0
+                        else stream(config.data_path, 1))
+        state, ep = trainer.fit_stream(state, epoch_stream,
+                                       log_every=config.log_every)
+        for k, v in ep.items():  # one entry per epoch, accumulated
+            history.setdefault(k, []).extend(v)
     if config.profile_dir:
         jax.profiler.stop_trace()
     if config.checkpoint_dir:
@@ -288,7 +300,9 @@ def run(config: ExperimentConfig) -> dict:
     trainer = Trainer(model, optimizer=config.build_optimizer(),
                       loss_fn=make_loss_fn(config), seed=config.seed,
                       weight_decay=config.weight_decay,
-                      mesh=config.build_mesh(), fused_embedding=fused)
+                      mesh=config.build_mesh(), fused_embedding=fused,
+                      explicit_lookup=config.explicit_lookup,
+                      capacity_factor=config.capacity_factor)
     state = trainer.init(next(iter_batches(X_train, y_train,
                                            min(config.batch_size,
                                                len(y_train))))[0])
@@ -318,6 +332,8 @@ def run(config: ExperimentConfig) -> dict:
         "examples_per_sec": round(float(np.mean(
             history["examples_per_sec"])), 1),
     }
+    if "embedding_overflow" in history:
+        result["embedding_overflow"] = history["embedding_overflow"]
     if config.model == "dssm":
         from .utils.metrics import recall_at_n
 
@@ -359,6 +375,14 @@ def parse_args(argv=None) -> ExperimentConfig:
     p.add_argument("--seed", type=int, default=defaults.seed)
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--explicit-lookup", action="store_true",
+                   help="mesh only: explicit shard_map all-to-all embedding "
+                        "lookup instead of GSPMD's synthesized gather (the "
+                        "dryrun's production config)")
+    p.add_argument("--capacity-factor", type=float,
+                   default=defaults.capacity_factor,
+                   help="mesh only: per-destination exchange bucket bound; "
+                        "over-capacity updates are dropped and counted")
     p.add_argument("--fused-embedding", default=defaults.fused_embedding,
                    choices=[None, "adagrad", "sgd", "adam"],
                    help="fused sparse embedding optimizer (Pallas kernel)")
@@ -394,6 +418,8 @@ def parse_args(argv=None) -> ExperimentConfig:
         seed=args.seed, dssm_loss=args.dssm_loss, dnn_dtype=args.dnn_dtype,
         fused_embedding=args.fused_embedding,
         mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+        explicit_lookup=args.explicit_lookup,
+        capacity_factor=args.capacity_factor,
         stream=args.stream, stream_chunk_rows=args.stream_chunk_rows,
         stream_prefetch=args.stream_prefetch,
         stream_eval_path=args.stream_eval_path,

@@ -194,3 +194,20 @@ def test_stream_vs_inmemory_auc_band(tmp_path):
     # stay within a band of each other
     assert auc_mem > 0.6 and auc_st > 0.6, (auc_mem, auc_st)
     assert abs(auc_mem - auc_st) < 0.08, (auc_mem, auc_st)
+
+
+def test_stream_cli_multi_epoch_history(tmp_path):
+    """VERDICT r3 weak #3: multi-epoch --stream must report every epoch's
+    loss/ex-s, and epoch 0 must reuse the init stream (no abandoned parser)."""
+    from recommender_system_tpu.train import parse_args, run
+
+    trp, _ = _split_criteo(tmp_path)
+    cfg = parse_args([
+        "--stream", "--data-path", trp, "--model", "deepfm",
+        "--hash-buckets", "4096", "--batch-size", "512", "--epochs", "3",
+        "--hidden-units", "32", "16", "--embedding-dim", "8",
+        "--stream-chunk-rows", "2048",
+    ])
+    result = run(cfg)
+    assert len(result["train_loss"]) == 3
+    assert result["train_loss"][2] < result["train_loss"][0]
