@@ -17,9 +17,15 @@ from recommender_system_tpu.ops.fused_adagrad import _lane_shift_matmul
 from recommender_system_tpu.utils.benchmark import bench_fn
 
 
+def _chunked_take(src, order, k):
+    """Gather split into k sequential index-chunks (same source array)."""
+    parts = jnp.split(order, k)
+    return jnp.concatenate([jnp.take(src, p, axis=0) for p in parts], axis=0)
+
+
 def main():
     rng = np.random.default_rng(0)
-    for N in (417_792, 835_584):
+    for N in (417_792, 524_288, 626_688, 835_584):
         order = jnp.asarray(rng.permutation(N).astype(np.int32))
         ct32 = jnp.asarray(rng.normal(size=(N, 32)).astype(np.float32))
         slots = jnp.asarray(rng.integers(0, 4, size=N).astype(np.int32))
@@ -41,6 +47,10 @@ def main():
                 lambda s, o: _lane_shift_matmul(
                     jnp.take(s, o, axis=0), slots[o], 4, 32, jnp.bfloat16),
                 ct32, order),
+            "wide bf16 chunked x2 gather": (
+                lambda s, o: _chunked_take(s, o, 2), wide_bf16, order),
+            "wide bf16 chunked x4 gather": (
+                lambda s, o: _chunked_take(s, o, 4), wide_bf16, order),
         }
         print(f"N = {N}")
         for name, (fn, src, o) in cases.items():

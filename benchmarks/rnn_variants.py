@@ -27,18 +27,20 @@ def main():
     mask = jnp.asarray(np.arange(T)[None, :] < lengths[:, None])
     params = init_gru_params(jax.random.PRNGKey(0), D, H)
 
-    def make(fn, dtype, remat, use_att):
+    def make(fn, dtype, remat, use_att, unroll=1):
         if use_att:
             def f(p, x, a, m):
                 def loss(p, x, a):
-                    outs, h = fn(p, x, a, mask=m, dtype=dtype, remat=remat)
+                    outs, h = fn(p, x, a, mask=m, dtype=dtype, remat=remat,
+                                 unroll=unroll)
                     return jnp.sum(h)
                 return jax.grad(loss, argnums=(0, 1, 2))(p, x, a)
             return jax.jit(f)
 
         def f(p, x, m):
             def loss(p, x):
-                outs, h = fn(p, x, mask=m, dtype=dtype, remat=remat)
+                outs, h = fn(p, x, mask=m, dtype=dtype, remat=remat,
+                             unroll=unroll)
                 return jnp.sum(outs) + jnp.sum(h)
             return jax.grad(loss, argnums=(0, 1))(p, x)
         return jax.jit(f)
@@ -47,10 +49,13 @@ def main():
     for name, fn, use_att in (("gru", gru, False), ("augru", augru, True)):
         for dtype, dn in ((None, "f32"), (jnp.bfloat16, "bf16")):
             for remat in (False, True):
-                f = make(fn, dtype, remat, use_att)
-                args = (params, x, att, mask) if use_att else (params, x, mask)
-                t = bench_fn(f, *args)
-                print(f"{name:6s} {dn:4s} remat={int(remat)}: {t*1e3:8.3f} ms")
+                for unroll in (1, 2, 5):
+                    f = make(fn, dtype, remat, use_att, unroll)
+                    args = (params, x, att, mask) if use_att \
+                        else (params, x, mask)
+                    t = bench_fn(f, *args)
+                    print(f"{name:6s} {dn:4s} remat={int(remat)} "
+                          f"unroll={unroll}: {t*1e3:8.3f} ms")
 
 
 if __name__ == "__main__":

@@ -89,6 +89,10 @@ class _RecurrentBase(nn.Module):
 
     hidden: int
     use_bias: bool = True
+    # gate-matmul compute dtype (params/carry stay f32, f32 accumulation);
+    # bf16 + remat measured 2.56 -> 0.82 ms GRU fwd+bwd at the DIEN shape
+    # (benchmarks/rnn_variants.py, v5e 2026-08-21)
+    dtype: Optional[jnp.dtype] = None
 
     def _params(self, input_dim: int) -> GRUParams:
         scale = 1.0 / jnp.sqrt(input_dim)
@@ -108,7 +112,8 @@ class GRULayer(_RecurrentBase):
 
     @nn.compact
     def __call__(self, inputs, mask=None):
-        return gru(self._params(inputs.shape[-1]), inputs, mask=mask)
+        return gru(self._params(inputs.shape[-1]), inputs, mask=mask,
+                   dtype=self.dtype)
 
 
 class AUGRULayer(_RecurrentBase):
@@ -117,4 +122,5 @@ class AUGRULayer(_RecurrentBase):
 
     @nn.compact
     def __call__(self, inputs, att_scores, mask=None):
-        return augru(self._params(inputs.shape[-1]), inputs, att_scores, mask=mask)
+        return augru(self._params(inputs.shape[-1]), inputs, att_scores,
+                     mask=mask, dtype=self.dtype)

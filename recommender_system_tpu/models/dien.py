@@ -81,7 +81,8 @@ class DIEN(nn.Module):
 
         hidden = self.gru_hidden or keys.shape[-1]
         # 1. interest extraction
-        states, _ = GRULayer(hidden, name="interest_gru")(keys, mask=mask)
+        states, _ = GRULayer(hidden, dtype=self.dnn_dtype,
+                             name="interest_gru")(keys, mask=mask)
 
         # attention queries score against the GRU states; project the target
         # embedding to the state width when a custom gru_hidden differs
@@ -119,7 +120,8 @@ class DIEN(nn.Module):
             name="attention")(att_query, states, mask, train=train)  # [B, T]
 
         # 4. interest evolution
-        _, final_state = AUGRULayer(hidden, name="augru")(
+        _, final_state = AUGRULayer(hidden, dtype=self.dnn_dtype,
+                                    name="augru")(
             states, att_scores, mask=mask)
 
         other = [v for n, v in emb.sparse.items()

@@ -209,9 +209,133 @@ def _prep_update_stream(stack, lids, ct, *, pack, dim, tile_rows, chunk,
     return w_sub, w_chunk, W, n_sub, pad_chunk, sids_p, sg_p, tile_rows
 
 
+def _prep_update_stream_multi(stack, sites, *, pack, dim, tile_rows, chunk,
+                              stream_dtype):
+    """Multi-stream prep: one sorted stream PER LOOKUP SITE (or per split of
+    an oversize site), concatenated, with a work queue that visits every
+    stream's chunks for a subtile before that subtile's apply.
+
+    Why: the cotangent-reorder gather has a measured per-row cliff on v5e —
+    ~3.5 ns/row while the source stays under ~2^19 rows (bf16), ~11.5 ns/row
+    above it, and chunking the *indices* does not help (the source size is
+    what matters — ``benchmarks/reorder_micro.py``, 2026-08-21). A DIEN step
+    concatenates 3 lookup sites into one 836k-row stream and pays the cliff
+    on every step; per-site streams keep every gather source below it.
+
+    Exactness: all of a subtile's chunks (across all streams) accumulate into
+    the same VMEM scratch before the single apply, so duplicate ids are still
+    pre-summed per row before Adagrad squares them — identical semantics to
+    the single-stream path, verified in tests.
+
+    ``sites``: list of ``(lids, ct, presorted|None)``. Returns the same
+    tuple as ``_prep_update_stream``.
+    """
+    num_rows, L = stack.shape
+    tile_rows = _choose_tile_rows(num_rows, tile_rows)
+    n_sub = -(-num_rows // tile_rows)
+    bounds = jnp.arange(n_sub + 1, dtype=jnp.int32) * tile_rows
+
+    seg_sids, seg_sg = [], []
+    first_chunks, counts_list = [], []
+    base = 0  # running chunk offset of this site's region
+    for lids, ct, presorted in sites:
+        N = lids.shape[0]
+        if presorted is not None:
+            slid = presorted[0].astype(jnp.int32)
+            order = presorted[1].astype(jnp.int32)
+        else:
+            slid, order = jax.lax.sort(
+                [lids.astype(jnp.int32), jnp.arange(N, dtype=jnp.int32)],
+                num_keys=1)
+        swid = slid // pack if pack > 1 else slid
+        n_chunks = -(-N // chunk)
+        n_pad = n_chunks * chunk
+        order_p = jnp.pad(order, (0, n_pad - N))
+        # shift-first (matmul output is row-major bf16, the layout the fast
+        # per-row gather wants); each site's source is below the cliff
+        if pack == 1:
+            sg = ct.astype(stream_dtype)
+            if L > dim:
+                sg = jnp.pad(sg, ((0, 0), (0, L - dim)))
+        else:
+            sg = _lane_shift_matmul(ct, lids % pack, pack, dim, stream_dtype)
+        sg_p = jax.lax.optimization_barrier(jnp.take(sg, order_p, axis=0))
+        seg_sids.append(jnp.full((n_pad,), _SENTINEL, jnp.int32)
+                        .at[:N].set(swid))
+        seg_sg.append(sg_p)
+        ts = jnp.searchsorted(swid, bounds).astype(jnp.int32)    # [n_sub+1]
+        first_chunk = ts[:-1] // chunk
+        span = ts[1:] - ts[:-1]
+        counts_list.append(jnp.where(
+            span > 0, -((first_chunk * chunk - ts[1:]) // chunk), 0))
+        first_chunks.append(base + first_chunk)
+        base += n_chunks
+    # one global pad chunk at the very end of the concatenation
+    pad_chunk = base
+    seg_sids.append(jnp.full((chunk,), _SENTINEL, jnp.int32))
+    seg_sg.append(jnp.zeros((chunk, L), stream_dtype))
+    sids_all = jnp.concatenate(seg_sids)[None, :]
+    sg_all = jnp.concatenate(seg_sg, axis=0)
+
+    S = len(sites)
+    FC = jnp.stack(first_chunks, axis=1)       # [n_sub, S] global chunk base
+    CNT = jnp.stack(counts_list, axis=1)       # [n_sub, S]
+    site_cum = jnp.cumsum(CNT, axis=1)         # within-subtile cumulative
+    counts = site_cum[:, -1]
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    W = base + n_sub * S                        # static upper bound
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+    w_sub_raw = (cum[None, :] <= w_idx[:, None]).sum(axis=1, dtype=jnp.int32)
+    sub_c = jnp.minimum(w_sub_raw, n_sub - 1)
+    last_sub = (cum < total).sum(dtype=jnp.int32)
+    w_sub = jnp.where(w_idx < total, sub_c,
+                      jnp.minimum(last_sub, n_sub - 1))
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum[:-1]])
+    w_in = w_idx - offs[sub_c]                 # index within the subtile
+    sc = site_cum[sub_c]                       # [W, S]
+    s_idx = jnp.minimum((sc <= w_in[:, None]).sum(axis=1, dtype=jnp.int32),
+                        S - 1)
+    site_off = jnp.concatenate(
+        [jnp.zeros((n_sub, 1), jnp.int32), site_cum[:, :-1]], axis=1)
+    w_in_site = w_in - jnp.take_along_axis(
+        site_off[sub_c], s_idx[:, None], axis=1)[:, 0]
+    w_chunk = jnp.take_along_axis(
+        FC[sub_c], s_idx[:, None], axis=1)[:, 0] + w_in_site
+    w_chunk = jnp.where(w_idx < total, w_chunk, pad_chunk)
+    return (w_sub, w_chunk.astype(jnp.int32), W, n_sub, pad_chunk,
+            sids_all, sg_all, tile_rows)
+
+
+# a gather source at/above this many rows pays the slow per-row path on v5e
+# (measured cliff between 417,792 and 524,288 rows — reorder_micro 2026-08-21);
+# oversize sites are split into position-chunks below it. Env-overridable for
+# A/B measurement (RST_STREAM_SPLIT_ROWS).
+import os as _os
+
+STREAM_SPLIT_ROWS = int(_os.environ.get("RST_STREAM_SPLIT_ROWS", 458_752))
+
+
+def split_oversize_sites(sites, max_rows: int = STREAM_SPLIT_ROWS):
+    """Split any (lids, ct, presorted) site with more than ``max_rows`` rows
+    into position-chunks below the gather cliff (presorted info cannot
+    survive a split — the parts re-sort)."""
+    out = []
+    for lids, ct, presorted in sites:
+        N = lids.shape[0]
+        if N <= max_rows:
+            out.append((lids, ct, presorted))
+            continue
+        k = -(-N // max_rows)
+        step = -(-N // k)
+        for i in range(0, N, step):
+            out.append((lids[i:i + step], ct[i:i + step], None))
+    return out
+
+
 def _run_fused_kernel(kernel_body, hyper_vals, stack, states, lids, ct, *,
                       pack, dim, tile_rows, chunk, stream_dtype, presorted,
-                      reorder, extra_static):
+                      reorder, extra_static, sites=None):
     """Drive one fused sparse-optimizer Pallas kernel.
 
     ``states``: tuple of per-row state arrays shaped like ``stack`` (Adagrad
@@ -219,11 +343,17 @@ def _run_fused_kernel(kernel_body, hyper_vals, stack, states, lids, ct, *,
     params. Returns (new_stack, *new_states).
     """
     num_rows, L = stack.shape
-    (w_sub, w_chunk, W, n_sub, pad_chunk, sids_p, sg_p, tile_rows) = \
-        _prep_update_stream(stack, lids, ct, pack=pack, dim=dim,
-                            tile_rows=tile_rows, chunk=chunk,
-                            stream_dtype=stream_dtype, presorted=presorted,
-                            reorder=reorder)
+    if sites is not None:
+        (w_sub, w_chunk, W, n_sub, pad_chunk, sids_p, sg_p, tile_rows) = \
+            _prep_update_stream_multi(
+                stack, split_oversize_sites(sites), pack=pack, dim=dim,
+                tile_rows=tile_rows, chunk=chunk, stream_dtype=stream_dtype)
+    else:
+        (w_sub, w_chunk, W, n_sub, pad_chunk, sids_p, sg_p, tile_rows) = \
+            _prep_update_stream(stack, lids, ct, pack=pack, dim=dim,
+                                tile_rows=tile_rows, chunk=chunk,
+                                stream_dtype=stream_dtype, presorted=presorted,
+                                reorder=reorder)
     hyper = jnp.asarray(hyper_vals, jnp.float32)
     n_pad = sids_p.shape[1]
     n_bufs = 1 + len(states)
@@ -262,7 +392,7 @@ def fused_adagrad_apply(
     stack: jax.Array, acc: jax.Array, lids: jax.Array, ct: jax.Array,
     *, pack: int, dim: int, lr, eps: float = 1e-7,
     tile_rows: int = 512, chunk: int = 1024, stream_dtype=jnp.float32,
-    presorted=None, reorder: str = "auto",
+    presorted=None, reorder: str = "auto", sites=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """In-place Adagrad on a lane-packed stack from a sparse update stream.
 
@@ -282,7 +412,8 @@ def fused_adagrad_apply(
     return _run_fused_kernel(
         _fused_adagrad_kernel, [lr], stack, (acc,), lids, ct, pack=pack,
         dim=dim, tile_rows=tile_rows, chunk=chunk, stream_dtype=stream_dtype,
-        presorted=presorted, reorder=reorder, extra_static={"eps": eps})
+        presorted=presorted, reorder=reorder, extra_static={"eps": eps},
+        sites=sites)
 
 
 def _dense_row_grad(stack, lids, ct, pack, dim):
@@ -343,7 +474,7 @@ def fused_sgd_apply(
     stack: jax.Array, lids: jax.Array, ct: jax.Array,
     *, pack: int, dim: int, lr,
     tile_rows: int = 512, chunk: int = 1024, stream_dtype=jnp.float32,
-    presorted=None, reorder: str = "auto",
+    presorted=None, reorder: str = "auto", sites=None,
 ) -> Tuple[jax.Array]:
     """In-place SGD: ``param[row] -= lr * sum(grads of that row)``. Matches
     ``optax.sgd`` on the dense scatter-added gradient (the reference's
@@ -355,7 +486,7 @@ def fused_sgd_apply(
     return _run_fused_kernel(
         _fused_sgd_kernel, [lr], stack, (), lids, ct, pack=pack, dim=dim,
         tile_rows=tile_rows, chunk=chunk, stream_dtype=stream_dtype,
-        presorted=presorted, reorder=reorder, extra_static={})
+        presorted=presorted, reorder=reorder, extra_static={}, sites=sites)
 
 
 def fused_sgd_ref(stack, lids, ct, *, pack, dim, lr):
@@ -430,7 +561,7 @@ def fused_adam_apply(
     *, pack: int, dim: int, lr, step,
     b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     tile_rows: int = 512, chunk: int = 1024, stream_dtype=jnp.float32,
-    presorted=None, reorder: str = "auto",
+    presorted=None, reorder: str = "auto", sites=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """In-place **lazy** Adam on a lane-packed stack.
 
@@ -455,7 +586,8 @@ def fused_adam_apply(
         _fused_adam_kernel, [lr, bc1, bc2], stack, (m, v), lids, ct,
         pack=pack, dim=dim, tile_rows=tile_rows, chunk=chunk,
         stream_dtype=stream_dtype, presorted=presorted, reorder=reorder,
-        extra_static={"b1": b1, "b2": b2, "eps": eps, "dim": dim})
+        extra_static={"b1": b1, "b2": b2, "eps": eps, "dim": dim},
+        sites=sites)
 
 
 def fused_adam_ref(stack, m, v, lids, ct, *, pack, dim, lr, step,

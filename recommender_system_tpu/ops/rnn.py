@@ -70,6 +70,7 @@ def gru(
     h0: Optional[jax.Array] = None,
     dtype=None,
     remat: bool = True,
+    unroll: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """GRU over ``inputs [B, T, D]`` with optional ``mask [B, T]``.
 
@@ -104,7 +105,7 @@ def gru(
         step = jax.checkpoint(step)
     m = jnp.ones((B, T), bool) if mask is None else mask
     xs = (jnp.swapaxes(inputs, 0, 1), jnp.swapaxes(m, 0, 1))
-    h_last, outs = jax.lax.scan(step, h0, xs)
+    h_last, outs = jax.lax.scan(step, h0, xs, unroll=unroll)
     return jnp.swapaxes(outs, 0, 1), h_last
 
 
@@ -116,6 +117,7 @@ def augru(
     h0: Optional[jax.Array] = None,
     dtype=None,
     remat: bool = True,
+    unroll: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Attention-gated GRU (DIEN interest evolution).
 
@@ -144,7 +146,7 @@ def augru(
     xs = (jnp.swapaxes(inputs, 0, 1),
           jnp.swapaxes(att_scores, 0, 1),
           jnp.swapaxes(m, 0, 1))
-    h_last, outs = jax.lax.scan(step, h0, xs)
+    h_last, outs = jax.lax.scan(step, h0, xs, unroll=unroll)
     return jnp.swapaxes(outs, 0, 1), h_last
 
 

@@ -363,9 +363,25 @@ class Trainer:
                     total_overflow = total_overflow + ovf
                     continue
                 presorted = None
-                if len(site_paths) == 1:
-                    # pre-sorted stream from the lookup site (stream_sort);
-                    # multi-site stacks interleave streams -> generic sort
+                sites = None
+                from ..ops.fused_adagrad import STREAM_SPLIT_ROWS
+                if lids.shape[0] > STREAM_SPLIT_ROWS:
+                    # per-site (and per-split) sorted streams keep every
+                    # cotangent-reorder gather source below the measured
+                    # v5e per-row cliff (~2^19 rows) — the concatenated DIEN
+                    # stream paid ~11.5 ns/row instead of ~3.5 (BASELINE.md
+                    # round 4, benchmarks/reorder_micro.py). Under the cliff
+                    # the single concatenated stream is faster (DIN 418k:
+                    # 10.1ms multi vs 8.3ms single measured), so multi is
+                    # gated on TOTAL stream size, not site count.
+                    sites = []
+                    for k in range(len(site_paths)):
+                        info = flat_sort.get(site_paths[k])
+                        sites.append((ids_list[k], ct_list[k],
+                                      (info[0], info[1])
+                                      if info is not None else None))
+                elif len(site_paths) == 1:
+                    # pre-sorted stream from the lookup site (stream_sort)
                     info = flat_sort.get(site_paths[0])
                     if info is not None:
                         presorted = (info[0], info[1])
@@ -373,7 +389,7 @@ class Trainer:
                     stack, slots[path], lids, ct, lr=lr, step=state.step,
                     pack=pack_factor(dim), dim=dim,
                     stream_dtype=stream_dtype,
-                    presorted=presorted, reorder=reorder)
+                    presorted=presorted, reorder=reorder, sites=sites)
 
             new_state = state.replace(
                 params=_merge_stack_params(new_rest, new_stacks),

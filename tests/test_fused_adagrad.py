@@ -124,3 +124,65 @@ def test_reorder_modes_identical(pack, dim):
                                np.asarray(ref_stack), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(outs["auto"][1]),
                                np.asarray(ref_acc), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("pack,dim", [(16, 8), (4, 32), (1, 128)])
+def test_multi_stream_sites_match_concat(pack, dim):
+    """Per-site sorted streams (the DIEN reorder-cliff fix) must be exactly
+    the single concatenated-stream semantics: all of a subtile's chunks
+    accumulate before its apply, so duplicates across sites pre-sum."""
+    rng = np.random.default_rng(1)
+    rows, L = 192, 128
+    stack = jnp.asarray(rng.normal(size=(rows, L)).astype(np.float32))
+    acc = jnp.full((rows, L), 0.1, jnp.float32)
+    max_lid = rows * pack
+    # three sites of very different sizes, with heavy cross-site duplicates
+    ns = (700, 450, 37)
+    site_ids = [jnp.asarray(rng.integers(0, max_lid, size=n, dtype=np.int32))
+                for n in ns]
+    site_ct = [jnp.asarray(rng.normal(size=(n, dim)).astype(np.float32))
+               for n in ns]
+    lids = jnp.concatenate(site_ids)
+    ct = jnp.concatenate(site_ct)
+    kw = dict(pack=pack, dim=dim, lr=0.05, tile_rows=64, chunk=128)
+
+    multi_stack, multi_acc = jax.jit(
+        lambda s, a, i, c, sites: fused_adagrad_apply(
+            s, a, i, c, sites=sites, **kw))(
+        stack, acc, lids, ct,
+        [(i, c, None) for i, c in zip(site_ids, site_ct)])
+    single_stack, single_acc = jax.jit(
+        lambda s, a, i, c: fused_adagrad_apply(s, a, i, c, **kw))(
+        stack, acc, lids, ct)
+    np.testing.assert_allclose(np.asarray(multi_stack),
+                               np.asarray(single_stack), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(multi_acc),
+                               np.asarray(single_acc), rtol=1e-4, atol=1e-5)
+
+
+def test_split_oversize_sites_preserves_semantics():
+    """An oversize site split into position-chunks gives the same update;
+    split parts re-sort (presorted info is dropped)."""
+    from recommender_system_tpu.ops.fused_adagrad import split_oversize_sites
+
+    rng = np.random.default_rng(2)
+    rows, L, pack, dim = 128, 128, 16, 8
+    stack = jnp.asarray(rng.normal(size=(rows, L)).astype(np.float32))
+    acc = jnp.full((rows, L), 0.1, jnp.float32)
+    n = 1000
+    lids = jnp.asarray(rng.integers(0, rows * pack, size=n, dtype=np.int32))
+    ct = jnp.asarray(rng.normal(size=(n, dim)).astype(np.float32))
+    parts = split_oversize_sites([(lids, ct, None)], max_rows=300)
+    assert len(parts) == 4 and all(p[2] is None for p in parts)
+    assert sum(p[0].shape[0] for p in parts) == n
+    kw = dict(pack=pack, dim=dim, lr=0.05, tile_rows=64, chunk=128)
+    split_stack, split_acc = jax.jit(
+        lambda s, a, i, c, sites: fused_adagrad_apply(
+            s, a, i, c, sites=sites, **kw))(stack, acc, lids, ct, parts)
+    single_stack, single_acc = jax.jit(
+        lambda s, a, i, c: fused_adagrad_apply(s, a, i, c, **kw))(
+        stack, acc, lids, ct)
+    np.testing.assert_allclose(np.asarray(split_stack),
+                               np.asarray(single_stack), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(split_acc),
+                               np.asarray(single_acc), rtol=1e-4, atol=1e-5)
