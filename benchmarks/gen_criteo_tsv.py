@@ -50,7 +50,14 @@ def main():
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--out", default="/tmp/criteo_10m.tsv")
     ap.add_argument("--chunk", type=int, default=250_000)
-    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="seeds the token pools + per-token label effects; "
+                         "an eval file must share the TRAIN seed or its "
+                         "categorical signal will not transfer")
+    ap.add_argument("--row-seed", type=int, default=None,
+                    help="separate seed for the row stream (default: "
+                         "--seed). Use a fresh value to generate a held-out "
+                         "eval file over the SAME pools/effects")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -63,6 +70,8 @@ def main():
         pools.append(np.array([f"{v:08x}" for v in raw], dtype="U8"))
         effects.append(0.25 * np.sin(np.arange(vocab) * (i + 1) * 0.37))
 
+    if args.row_seed is not None:
+        rng = np.random.default_rng(args.row_seed)
     written = 0
     milestone = 0
     with open(args.out, "wb") as f:

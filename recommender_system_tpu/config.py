@@ -57,6 +57,10 @@ class ExperimentConfig:
     stream_chunk_rows: int = 1 << 18
     stream_prefetch: int = 2
     stream_eval_path: Optional[str] = None
+    # batches grouped into one packed transfer + one lax.scan dispatch
+    # (single-device; the transfer-bound stream-loop fix — harness.py
+    # _fit_stream_packed). 1 = per-batch staging.
+    stream_steps_per_call: int = 8
 
     # parallelism (None = single device)
     mesh_data: Optional[int] = None

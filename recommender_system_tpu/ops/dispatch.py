@@ -2,16 +2,25 @@
 
 Every hot op has a pure-jax reference implementation (ground truth for tests
 and the backward pass) and a fused Pallas TPU kernel. Dispatch policy is
-**measurement-driven** (TPU v5e, 2026-08-17, batch 8192, fetch-forced
-differential timing per ``utils/benchmark.py`` — see ``ops/pallas_kernels.py``
-docstring): for the FM / cross / DIN-attention interaction ops XLA's own
-fusion beats the hand kernels (FM ~125-157us XLA vs ~170-365us Pallas; cross
-~404 vs ~587us; DIN ~461 vs ~2313us), so the default is the XLA path and the
-Pallas kernels are opt-in
-(``RST_FORCE_PALLAS=1`` or a per-module ``use_pallas=True``). Hand kernels pay
-off where XLA *cannot* fuse — the sharded embedding exchange and fused
-gather+pool paths — which dispatch unconditionally to their custom
-implementations in ``parallel/``.
+**measurement-driven**, re-confirmed at the current bench configs (TPU v5e,
+**2026-08-21**, batch 16384, `benchmarks/interaction_dispatch.py`, fetch-
+forced differential timing per ``utils/benchmark.py``): XLA's own fusion
+beats the hand interaction kernels on every op —
+
+- FM fwd+bwd: XLA ~0.11 ms vs Pallas ~0.63 ms (fwd both < the ~0.2 ms
+  protocol resolution),
+- DCN cross (6 layers) fwd+bwd: XLA ~0.76 ms vs Pallas ~1.11 ms,
+- DIN attention (T=50, K=32) fwd: XLA f32 1.10 ms / XLA bf16 scorer
+  1.07 ms vs **Pallas 4.49 ms** — the DIN kernel is ~4x slower and is
+  DEMOTED: kept only as a correctness cross-check and an example of the
+  fused-scorer layout; never dispatch it in production.
+
+So the default is the XLA path; the Pallas interaction kernels are opt-in
+(``RST_FORCE_PALLAS=1`` or a per-module ``use_pallas=True``). Hand kernels
+pay off where XLA *cannot* fuse — the fused sparse optimizers
+(``ops/fused_adagrad.py``), the work-queue scatter (``ops/embedding_grad``),
+and the sharded embedding exchange (``parallel/fused.py``) — which dispatch
+unconditionally to their custom implementations.
 """
 from __future__ import annotations
 

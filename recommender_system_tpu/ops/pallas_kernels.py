@@ -337,7 +337,14 @@ def din_attention_fused(query, keys, mask, w1, b1, w2, b2, w3, b3,
                         activation: str = "sigmoid",
                         weight_normalization: bool = True,
                         return_scores: bool = False):
-    """Fused DIN attention -> pooled [B,K] (or scores [B,T])."""
+    """Fused DIN attention -> pooled [B,K] (or scores [B,T]).
+
+    DEMOTED (2026-08-21, ``benchmarks/interaction_dispatch.py``): 4.49 ms
+    fwd vs XLA's 1.10 ms at the DIN bench shape — the materialized
+    [bT, T, 4K]-equivalent scorer blocks lose to XLA's fusion. Kept as a
+    correctness cross-check (``tests/test_pallas.py``) and layout example
+    only; production dispatch always takes the XLA path (``ops/dispatch``).
+    """
     return _din_pallas(query, keys, mask, w1, b1, w2, b2, w3, b3,
                        activation, weight_normalization, return_scores)
 

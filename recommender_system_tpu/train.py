@@ -240,8 +240,9 @@ def run_stream(config: ExperimentConfig) -> dict:
     for epoch in range(config.epochs):
         epoch_stream = (itertools.chain([first], first_stream) if epoch == 0
                         else stream(config.data_path, 1))
-        state, ep = trainer.fit_stream(state, epoch_stream,
-                                       log_every=config.log_every)
+        state, ep = trainer.fit_stream(
+            state, epoch_stream, log_every=config.log_every,
+            steps_per_call=config.stream_steps_per_call)
         for k, v in ep.items():  # one entry per epoch, accumulated
             history.setdefault(k, []).extend(v)
     if config.profile_dir:
@@ -403,6 +404,10 @@ def parse_args(argv=None) -> ExperimentConfig:
     p.add_argument("--stream-eval-path", default=None,
                    help="held-out criteo TSV scored with streaming AUC "
                         "after --stream training")
+    p.add_argument("--stream-steps-per-call", type=int,
+                   default=defaults.stream_steps_per_call,
+                   help="batches per packed transfer + scan dispatch in "
+                        "--stream mode (1 = per-batch staging)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile-dir", default=None)
@@ -423,6 +428,7 @@ def parse_args(argv=None) -> ExperimentConfig:
         stream=args.stream, stream_chunk_rows=args.stream_chunk_rows,
         stream_prefetch=args.stream_prefetch,
         stream_eval_path=args.stream_eval_path,
+        stream_steps_per_call=args.stream_steps_per_call,
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         profile_dir=args.profile_dir, log_every=args.log_every)
 

@@ -496,6 +496,69 @@ class Trainer:
 
         return self._with_dispatch_flags(multi)
 
+    # -- packed group staging (out-of-core path) -----------------------
+    # Through a high-latency host<->device link (axon tunnel: ~16ms async
+    # enqueue, ~30MB/s effective; a 40-leaf criteo batch paid ~240ms/step
+    # in per-leaf device_puts) the stream loop is TRANSFER-bound, not
+    # device-bound. Staging K batches as ONE int32 + ONE float32 array per
+    # group (+ labels) cuts 40K transfers to 3 and feeds the existing
+    # lax.scan multi-step. Fewer, larger DMAs also win on real PCIe hosts.
+
+    @staticmethod
+    def _pack_spec(batch):
+        """Static packing layout from a sample batch: per dtype-kind the
+        ordered (name, width, trailing_shape, orig_dtype) columns."""
+        spec = {"i": [], "f": []}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            kind = "i" if v.dtype.kind in "iub" else "f"
+            w = int(np.prod(v.shape[1:])) if v.ndim > 1 else 1
+            spec[kind].append((k, w, tuple(v.shape[1:]), str(v.dtype)))
+        return {kind: feats for kind, feats in spec.items() if feats}
+
+    @staticmethod
+    def _pack_group(spec, group):
+        """[(batch_dict, labels)] x K -> ({kind: [K,B,W]}, labels [K,B...])."""
+        packed = {}
+        for kind, feats in spec.items():
+            dt = np.int32 if kind == "i" else np.float32
+            packed[kind] = np.stack([
+                np.concatenate(
+                    [np.asarray(xb[k]).reshape(len(yb), -1).astype(
+                        dt, copy=False) for k, w, shp, _ in feats], axis=1)
+                for xb, yb in group])
+        labels = np.stack([np.asarray(yb) for _, yb in group])
+        return packed, labels
+
+    def make_multi_step_packed(self, spec):
+        """Jitted K-step scan over PACKED batches: ``(state, {kind:
+        [K,B,W]}, labels[K,...]) -> (state, losses[K])``; features are
+        re-sliced to their original shapes/dtypes inside the traced fn (free
+        — XLA fuses the slices into their consumers)."""
+        body = self._make_step_body(in_scan=True)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def multi(state, packed, labels):
+            batches = {}
+            for kind, feats in spec.items():
+                arr = packed[kind]
+                K, B = arr.shape[:2]
+                off = 0
+                for k, w, shp, dt in feats:
+                    sl = jax.lax.slice_in_dim(arr, off, off + w, axis=2)
+                    off += w
+                    sl = sl.reshape((K, B) + shp) if shp else \
+                        sl.reshape((K, B))
+                    batches[k] = sl.astype(dt) if str(sl.dtype) != dt else sl
+
+            def scan_body(st, bl):
+                b, lb = bl
+                return body(st, b, lb)
+
+            return jax.lax.scan(scan_body, state, (batches, labels))
+
+        return self._with_dispatch_flags(multi)
+
     def _make_eval_step(self):
         model = self.model
 
@@ -600,7 +663,8 @@ class Trainer:
                     int(jnp.sum(jnp.asarray(overflows))) if overflows else 0)
         return state, history
 
-    def fit_stream(self, state: TrainState, batches, log_every: int = 0):
+    def fit_stream(self, state: TrainState, batches, log_every: int = 0,
+                   steps_per_call: int = 1):
         """Train over a ``(batch_dict, labels)`` iterator (out-of-core path).
 
         Double-buffered host->device staging: the NEXT batch's transfer is
@@ -608,7 +672,16 @@ class Trainer:
         (``utils.datasets.stream_criteo``'s background C++ chunk parser) and
         the device step overlap. Returns (state, history) like :meth:`fit`,
         with per-stream totals instead of per-epoch entries.
+
+        ``steps_per_call > 1`` (single-device only): groups that many batches
+        into ONE packed int32 + ONE packed float32 transfer and one
+        ``lax.scan`` dispatch (see :meth:`make_multi_step_packed`) — the
+        high-latency-link fix for the transfer-bound stream loop (measured
+        42k -> device/link-bound ex/s on the axon tunnel, BASELINE.md r4).
         """
+        if steps_per_call > 1 and self.mesh is None:
+            return self._fit_stream_packed(state, batches, log_every,
+                                           steps_per_call)
         if self._train_step is None:
             self._train_step = self._make_train_step()
         history = {"loss": [], "examples_per_sec": []}
@@ -656,6 +729,72 @@ class Trainer:
         if track_overflow and overflows:
             history["embedding_overflow"] = [
                 int(jnp.sum(jnp.asarray(overflows)))]
+        return state, history
+
+    def _fit_stream_packed(self, state, batches, log_every, steps_per_call):
+        """Packed-group stream loop: K batches -> 3 transfers + 1 dispatch.
+
+        Pipelined one group deep: group n+1's transfers are enqueued
+        (async ``device_put``) before group n's scan is dispatched, so the
+        link and the device overlap."""
+        spec = None
+        multi = None
+        loss_chunks = []           # [K]-arrays, fetched once at the end
+        n_examples = 0
+        steps = 0
+        group = []
+        staged = None
+        leftovers = []
+        t0 = time.perf_counter()
+
+        def stage(g):
+            packed, labels = self._pack_group(spec, g)
+            return ({k: jax.device_put(v) for k, v in packed.items()},
+                    jax.device_put(labels))
+
+        def dispatch(st, staged_group):
+            nonlocal steps
+            st, losses = multi(st, *staged_group)
+            loss_chunks.append(losses)
+            steps += steps_per_call
+            if log_every and steps % log_every < steps_per_call:
+                print(f"stream step {steps} "
+                      f"loss {float(jax.tree.leaves(losses)[0][-1]):.4f}")
+            return st
+
+        for item in batches:
+            xb, yb = item
+            if spec is None:
+                spec = self._pack_spec(xb)
+                multi = self.make_multi_step_packed(spec)
+            group.append((xb, yb))
+            n_examples += len(np.asarray(yb))
+            if len(group) == steps_per_call:
+                nxt = stage(group)
+                group = []
+                if staged is not None:
+                    state = dispatch(state, staged)
+                staged = nxt
+        leftovers = group
+        if staged is not None:
+            state = dispatch(state, staged)
+        if leftovers:  # tail < K batches: plain single-step path
+            if self._train_step is None:
+                self._train_step = self._make_train_step()
+            for xb, yb in leftovers:
+                xb = jax.tree.map(lambda a: jax.device_put(np.asarray(a)), xb)
+                state, out = self._train_step(state, xb,
+                                              jax.device_put(np.asarray(yb)))
+                loss_chunks.append(jnp.reshape(
+                    out["loss"] if isinstance(out, dict) else out, (1,)))
+        history = {"loss": [], "examples_per_sec": []}
+        if loss_chunks:
+            flat = jnp.concatenate(
+                [jnp.asarray(c) for c in loss_chunks])
+            float(flat[-1])  # force completion inside the timed region
+            dt = time.perf_counter() - t0
+            history["loss"].append(float(jnp.mean(flat)))
+            history["examples_per_sec"].append(n_examples / max(dt, 1e-9))
         return state, history
 
     def predict(self, state: TrainState, X, batch_size: int = 1024,

@@ -211,3 +211,35 @@ def test_stream_cli_multi_epoch_history(tmp_path):
     result = run(cfg)
     assert len(result["train_loss"]) == 3
     assert result["train_loss"][2] < result["train_loss"][0]
+
+
+def test_fit_stream_packed_matches_per_batch():
+    """Packed-group staging (steps_per_call>1) must train identically to
+    per-batch staging: same params after the same batch sequence."""
+    import jax
+    import optax
+
+    from recommender_system_tpu.models import DeepFM
+    from recommender_system_tpu.training import Trainer
+
+    buckets = 1 << 10
+    cols = criteo_columns(embedding_dim=8, hash_buckets=buckets)
+
+    def batches():
+        return stream_criteo(CRITEO, batch_size=256, hash_buckets=buckets,
+                             chunk_rows=1024)
+
+    results = []
+    for spc in (1, 4):
+        tr = Trainer(DeepFM(tuple(cols), hidden_units=(16, 8)),
+                     optimizer=optax.adagrad(0.05))
+        first = next(iter(batches()))
+        state = tr.init(first[0])
+        state, hist = tr.fit_stream(state, batches(), steps_per_call=spc)
+        results.append((state, hist))
+    (s1, h1), (s4, h4) = results
+    assert np.isclose(h1["loss"][0], h4["loss"][0], atol=1e-5), \
+        (h1["loss"], h4["loss"])
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
