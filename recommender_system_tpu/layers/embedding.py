@@ -297,6 +297,13 @@ class EmbeddingCollection(nn.Module):
         from ..ops import dispatch
 
         dim = fc.embedding_dim
+        # NOTE (negative result, 2026-08-21): selecting AFTER a [B,T,128]
+        # reshape so the lane-select dot emits the sequence shape directly
+        # (ops/embedding_grad.packed_take_fast_nd) looked like it would
+        # delete the 1.2 ms [N,32]->[B,T,32] relayout the DIN trace shows
+        # (reshape.37 + copy.102) — instead the 3-D select dot made XLA
+        # re-layout the gather feeding it: DIN step 9.84 -> 13.66 ms. The
+        # flat gather + reshape stays.
         out = self._gather(dim, rows.reshape(-1))
         out = out.reshape(rows.shape + (dim,))
         if dispatch.fused_opt_mode() and fc.trainable:

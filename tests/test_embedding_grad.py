@@ -95,3 +95,4 @@ def test_fast_path_in_model_grads(monkeypatch):
     for a, b in zip(jax.tree.leaves(g_off), jax.tree.leaves(g_on)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-2, atol=1e-3)
+
