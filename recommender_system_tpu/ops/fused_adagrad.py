@@ -27,6 +27,7 @@ differentiated, so XLA never builds a dense-gradient buffer at all.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -64,6 +65,40 @@ def _choose_tile_rows(num_rows: int, preferred: int = 512) -> int:
     raise ValueError(f"stack rows {num_rows} not divisible by 64")
 
 
+def _stream_chunk_counts(swid: jax.Array, bounds: jax.Array, chunk: int):
+    """Per subtile of one SORTED id stream: (index of its first chunk,
+    number of chunks overlapping its id span). Empty spans get 0 chunks."""
+    ts = jnp.searchsorted(swid, bounds).astype(jnp.int32)    # [S+1]
+    first_chunk = ts[:-1] // chunk                            # [S]
+    span = ts[1:] - ts[:-1]
+    counts = jnp.where(
+        span > 0, -((first_chunk * chunk - ts[1:]) // chunk), 0)
+    return first_chunk, counts
+
+
+def _queue_subtile_map(cum: jax.Array, n_sub: int, W: int):
+    """Map work-item index -> owning subtile, with padding attachment.
+
+    ``cum``: cumulative per-subtile work-item counts. Returns
+    (w_idx, w_sub, sub_c, w_in, total): ``w_sub`` is the subtile per item
+    (padding items attach to the last non-empty subtile so its pending G
+    gets applied on the final item), ``sub_c`` the clamped raw subtile,
+    ``w_in`` the item's index within its subtile."""
+    total = cum[-1]
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+    # w_sub_raw = searchsorted(cum, w_idx, 'right'), vectorized as one
+    # compare+reduce (the scan form is a latency chain of tiny ops)
+    w_sub_raw = (cum[None, :] <= w_idx[:, None]).sum(
+        axis=1, dtype=jnp.int32)
+    sub_c = jnp.minimum(w_sub_raw, n_sub - 1)
+    last_sub = (cum < total).sum(dtype=jnp.int32)  # first idx reaching total
+    w_sub = jnp.where(w_idx < total, sub_c,
+                      jnp.minimum(last_sub, n_sub - 1))
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum[:-1]])
+    w_in = w_idx - offs[sub_c]
+    return w_idx, w_sub, sub_c, w_in, total
+
+
 def _build_queue_sparse(sids: jax.Array, n: int, num_rows: int,
                         tile_rows: int, chunk: int):
     """(subtile, chunk) work queue over a sorted id stream, skipping empty
@@ -74,26 +109,9 @@ def _build_queue_sparse(sids: jax.Array, n: int, num_rows: int,
     n_sub = -(-num_rows // tile_rows)
     W = -(-n // chunk) + n_sub
     bounds = jnp.arange(n_sub + 1, dtype=jnp.int32) * tile_rows
-    ts = jnp.searchsorted(sids, bounds).astype(jnp.int32)   # [S+1]
-    first_chunk = ts[:-1] // chunk                           # [S]
-    span = ts[1:] - ts[:-1]
-    counts = jnp.where(
-        span > 0, -((first_chunk * chunk - ts[1:]) // chunk), 0)
+    first_chunk, counts = _stream_chunk_counts(sids, bounds, chunk)
     cum = jnp.cumsum(counts)
-    total = cum[-1]
-    w_idx = jnp.arange(W, dtype=jnp.int32)
-    # w_sub_raw = searchsorted(cum, w_idx, 'right'), vectorized as one
-    # compare+reduce (the scan form is a latency chain of tiny ops)
-    w_sub_raw = (cum[None, :] <= w_idx[:, None]).sum(
-        axis=1, dtype=jnp.int32)
-    sub_c = jnp.minimum(w_sub_raw, n_sub - 1)
-    # padding items (w_idx >= total) attach to the last non-empty subtile so
-    # its pending G gets applied on the final item
-    last_sub = (cum < total).sum(dtype=jnp.int32)  # first idx reaching total
-    w_sub = jnp.where(w_idx < total, sub_c,
-                      jnp.minimum(last_sub, n_sub - 1))
-    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum[:-1]])
-    w_in = w_idx - offs[sub_c]
+    w_idx, w_sub, sub_c, w_in, total = _queue_subtile_map(cum, n_sub, W)
     pad_chunk = (n + chunk - 1) // chunk  # one past the last real chunk
     w_chunk = jnp.where(w_idx < total, first_chunk[sub_c] + w_in, pad_chunk)
     return w_sub, w_chunk.astype(jnp.int32), W, n_sub, pad_chunk
@@ -263,11 +281,8 @@ def _prep_update_stream_multi(stack, sites, *, pack, dim, tile_rows, chunk,
         seg_sids.append(jnp.full((n_pad,), _SENTINEL, jnp.int32)
                         .at[:N].set(swid))
         seg_sg.append(sg_p)
-        ts = jnp.searchsorted(swid, bounds).astype(jnp.int32)    # [n_sub+1]
-        first_chunk = ts[:-1] // chunk
-        span = ts[1:] - ts[:-1]
-        counts_list.append(jnp.where(
-            span > 0, -((first_chunk * chunk - ts[1:]) // chunk), 0))
+        first_chunk, counts = _stream_chunk_counts(swid, bounds, chunk)
+        counts_list.append(counts)
         first_chunks.append(base + first_chunk)
         base += n_chunks
     # one global pad chunk at the very end of the concatenation
@@ -281,18 +296,9 @@ def _prep_update_stream_multi(stack, sites, *, pack, dim, tile_rows, chunk,
     FC = jnp.stack(first_chunks, axis=1)       # [n_sub, S] global chunk base
     CNT = jnp.stack(counts_list, axis=1)       # [n_sub, S]
     site_cum = jnp.cumsum(CNT, axis=1)         # within-subtile cumulative
-    counts = site_cum[:, -1]
-    cum = jnp.cumsum(counts)
-    total = cum[-1]
+    cum = jnp.cumsum(site_cum[:, -1])
     W = base + n_sub * S                        # static upper bound
-    w_idx = jnp.arange(W, dtype=jnp.int32)
-    w_sub_raw = (cum[None, :] <= w_idx[:, None]).sum(axis=1, dtype=jnp.int32)
-    sub_c = jnp.minimum(w_sub_raw, n_sub - 1)
-    last_sub = (cum < total).sum(dtype=jnp.int32)
-    w_sub = jnp.where(w_idx < total, sub_c,
-                      jnp.minimum(last_sub, n_sub - 1))
-    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum[:-1]])
-    w_in = w_idx - offs[sub_c]                 # index within the subtile
+    w_idx, w_sub, sub_c, w_in, total = _queue_subtile_map(cum, n_sub, W)
     sc = site_cum[sub_c]                       # [W, S]
     s_idx = jnp.minimum((sc <= w_in[:, None]).sum(axis=1, dtype=jnp.int32),
                         S - 1)
@@ -307,19 +313,21 @@ def _prep_update_stream_multi(stack, sites, *, pack, dim, tile_rows, chunk,
             sids_all, sg_all, tile_rows)
 
 
-# a gather source at/above this many rows pays the slow per-row path on v5e
-# (measured cliff between 417,792 and 524,288 rows — reorder_micro 2026-08-21);
-# oversize sites are split into position-chunks below it. Env-overridable for
-# A/B measurement (RST_STREAM_SPLIT_ROWS).
-import os as _os
+def stream_split_rows() -> int:
+    """Gather-cliff threshold: a gather source at/above this many rows pays
+    the slow per-row path on v5e (measured cliff between 417,792 and 524,288
+    rows — reorder_micro 2026-08-21); oversize sites are split into
+    position-chunks below it. Read per call so RST_STREAM_SPLIT_ROWS can be
+    set for A/B measurement without an import-order trap."""
+    return int(os.environ.get("RST_STREAM_SPLIT_ROWS", 458_752))
 
-STREAM_SPLIT_ROWS = int(_os.environ.get("RST_STREAM_SPLIT_ROWS", 458_752))
 
-
-def split_oversize_sites(sites, max_rows: int = STREAM_SPLIT_ROWS):
+def split_oversize_sites(sites, max_rows=None):
     """Split any (lids, ct, presorted) site with more than ``max_rows`` rows
-    into position-chunks below the gather cliff (presorted info cannot
-    survive a split — the parts re-sort)."""
+    (default :func:`stream_split_rows`) into position-chunks below the gather
+    cliff (presorted info cannot survive a split — the parts re-sort)."""
+    if max_rows is None:
+        max_rows = stream_split_rows()
     out = []
     for lids, ct, presorted in sites:
         N = lids.shape[0]

@@ -364,8 +364,8 @@ class Trainer:
                     continue
                 presorted = None
                 sites = None
-                from ..ops.fused_adagrad import STREAM_SPLIT_ROWS
-                if lids.shape[0] > STREAM_SPLIT_ROWS:
+                from ..ops.fused_adagrad import stream_split_rows
+                if lids.shape[0] > stream_split_rows():
                     # per-site (and per-split) sorted streams keep every
                     # cotangent-reorder gather source below the measured
                     # v5e per-row cliff (~2^19 rows) — the concatenated DIEN
@@ -736,15 +736,20 @@ class Trainer:
 
         Pipelined one group deep: group n+1's transfers are enqueued
         (async ``device_put``) before group n's scan is dispatched, so the
-        link and the device overlap."""
+        link and the device overlap. Batches whose leading dim differs from
+        the first batch's (ragged tails, ``drop_remainder=False`` streams)
+        drain the pipeline and run through the single-step path IN ORDER —
+        packing requires equal shapes. The compiled packed scan is cached on
+        the Trainer (one XLA compile across epochs/calls).
+        """
         spec = None
         multi = None
+        expected_b = None
         loss_chunks = []           # [K]-arrays, fetched once at the end
         n_examples = 0
         steps = 0
         group = []
         staged = None
-        leftovers = []
         t0 = time.perf_counter()
 
         def stage(g):
@@ -762,31 +767,54 @@ class Trainer:
                       f"loss {float(jax.tree.leaves(losses)[0][-1]):.4f}")
             return st
 
-        for item in batches:
-            xb, yb = item
+        def flush_single(st, items):
+            nonlocal steps
+            if not items:
+                return st
+            if self._train_step is None:
+                self._train_step = self._make_train_step()
+            for xb, yb in items:
+                xb = jax.tree.map(lambda a: jax.device_put(np.asarray(a)), xb)
+                st, out = self._train_step(st, xb,
+                                           jax.device_put(np.asarray(yb)))
+                loss_chunks.append(jnp.reshape(
+                    out["loss"] if isinstance(out, dict) else out, (1,)))
+                steps += 1
+            return st
+
+        for xb, yb in batches:
+            B = len(np.asarray(yb))
+            n_examples += B
             if spec is None:
                 spec = self._pack_spec(xb)
-                multi = self.make_multi_step_packed(spec)
+                expected_b = B
+                key = tuple(sorted((kind, tuple(feats))
+                                   for kind, feats in spec.items()))
+                cache = getattr(self, "_packed_multi_cache", None)
+                if cache is None:
+                    cache = self._packed_multi_cache = {}
+                multi = cache.get(key)
+                if multi is None:
+                    multi = cache[key] = self.make_multi_step_packed(spec)
+            if B != expected_b:
+                # ragged batch: preserve order — run everything pending
+                # (staged group, partial group, this batch) single-step
+                if staged is not None:
+                    state = dispatch(state, staged)
+                    staged = None
+                state = flush_single(state, group + [(xb, yb)])
+                group = []
+                continue
             group.append((xb, yb))
-            n_examples += len(np.asarray(yb))
             if len(group) == steps_per_call:
                 nxt = stage(group)
                 group = []
                 if staged is not None:
                     state = dispatch(state, staged)
                 staged = nxt
-        leftovers = group
         if staged is not None:
             state = dispatch(state, staged)
-        if leftovers:  # tail < K batches: plain single-step path
-            if self._train_step is None:
-                self._train_step = self._make_train_step()
-            for xb, yb in leftovers:
-                xb = jax.tree.map(lambda a: jax.device_put(np.asarray(a)), xb)
-                state, out = self._train_step(state, xb,
-                                              jax.device_put(np.asarray(yb)))
-                loss_chunks.append(jnp.reshape(
-                    out["loss"] if isinstance(out, dict) else out, (1,)))
+        state = flush_single(state, group)  # tail < K batches
         history = {"loss": [], "examples_per_sec": []}
         if loss_chunks:
             flat = jnp.concatenate(

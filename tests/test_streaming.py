@@ -243,3 +243,46 @@ def test_fit_stream_packed_matches_per_batch():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s4.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_fit_stream_packed_ragged_and_cache():
+    """Ragged batches (drop_remainder=False tails or mid-stream size changes)
+    must run in order through the single-step path instead of crashing
+    np.stack, and the packed scan must be compiled once across calls."""
+    import jax
+    import optax
+
+    from recommender_system_tpu.models import DeepFM
+    from recommender_system_tpu.training import Trainer
+    from recommender_system_tpu.utils.datasets import synthetic_criteo
+
+    cols, X, y = synthetic_criteo(n_rows=300, embedding_dim=4, seed=0)
+
+    def batches(sizes):
+        lo = 0
+        for n in sizes:
+            yield ({k: v[lo:lo + n] for k, v in X.items()}, y[lo:lo + n])
+            lo += n
+
+    # ragged batch lands exactly at a group boundary (reviewer repro):
+    # 4 x 64 then one of 17 with steps_per_call=5
+    sizes = [64, 64, 64, 64, 17]
+    tr = Trainer(DeepFM(tuple(cols), hidden_units=(8,)),
+                 optimizer=optax.adagrad(0.05))
+    state = tr.init(next(batches([64]))[0])
+    state, hist = tr.fit_stream(state, batches(sizes), steps_per_call=5)
+    assert np.isfinite(hist["loss"][0])
+
+    # parity with the per-batch path over the same ragged sequence
+    tr2 = Trainer(DeepFM(tuple(cols), hidden_units=(8,)),
+                  optimizer=optax.adagrad(0.05))
+    s2 = tr2.init(next(batches([64]))[0])
+    s2, h2 = tr2.fit_stream(s2, batches(sizes), steps_per_call=1)
+    assert np.isclose(hist["loss"][0], h2["loss"][0], atol=1e-5)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+    # second call reuses the cached compiled scan (one entry, same object)
+    state, _ = tr.fit_stream(state, batches([64] * 5), steps_per_call=5)
+    assert len(tr._packed_multi_cache) == 1
