@@ -72,8 +72,12 @@ def main():
     ab3 = jnp.zeros((1,))
 
     cases = (
-        ("din XLA f32", dict(use_pallas=False, dtype=None)),
-        ("din XLA bf16 scorer", dict(use_pallas=False, dtype=jnp.bfloat16)),
+        ("din XLA f32", dict(use_pallas=False, dtype=None, remat=False)),
+        ("din XLA f32 remat", dict(use_pallas=False, dtype=None, remat=True)),
+        ("din XLA bf16 scorer",
+         dict(use_pallas=False, dtype=jnp.bfloat16, remat=False)),
+        ("din XLA bf16 remat",
+         dict(use_pallas=False, dtype=jnp.bfloat16, remat=True)),
         ("din Pallas", dict(use_pallas=True, dtype=None)),
     )
     for name, kw in cases:

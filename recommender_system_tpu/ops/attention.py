@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from . import dispatch
+from .din_vjp import din_attention_remat
 from .pallas_kernels import din_attention_fused, din_attention_ref
 
 
@@ -26,11 +27,18 @@ def din_attention(query, keys, mask, w1, b1, w2, b2, w3, b3,
                   weight_normalization: bool = True,
                   return_scores: bool = False,
                   use_pallas: Optional[bool] = None,
-                  dtype=None):
+                  dtype=None,
+                  remat: bool = True):
     """query [B,K], keys [B,T,K], mask [B,T] -> pooled [B,K] (or scores [B,T]).
 
     ``dtype`` sets the scorer compute dtype on the XLA path (f32 accumulation,
     f32 softmax/pooling); the Pallas kernel computes in f32 and ignores it.
+
+    ``remat=True`` (default) uses the hand-written backward
+    (``ops.din_vjp.din_attention_remat``): only the inputs + [B,T] scores are
+    saved and the scorer is recomputed per-part in the VJP, so the [B,T,h]
+    activation residuals never stream to HBM.  Forward math is identical;
+    set ``remat=False`` for plain autodiff (e.g. for grad-of-grad).
     """
     if dispatch.use_pallas(use_pallas):
         if dtype is not None:
@@ -40,6 +48,11 @@ def din_attention(query, keys, mask, w1, b1, w2, b2, w3, b3,
         return din_attention_fused(
             query, keys, mask.astype(jnp.float32), w1, b1, w2, b2, w3, b3,
             activation, weight_normalization, return_scores)
+    if remat:
+        dtype_name = None if dtype is None else jnp.dtype(dtype).name
+        return din_attention_remat(
+            query, keys, mask.astype(bool), w1, b1, w2, b2, w3, b3,
+            activation, weight_normalization, return_scores, dtype_name)
     return din_attention_ref(
         query, keys, mask.astype(bool), w1, b1, w2, b2, w3, b3,
         activation, weight_normalization, return_scores, dtype=dtype)

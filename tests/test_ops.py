@@ -208,3 +208,86 @@ def test_din_attention_bf16_scorer_parity():
     assert got.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0.05, atol=0.05)
+
+
+def test_din_attention_remat_vjp_matches_autodiff():
+    """The hand-written backward (ops/din_vjp.din_attention_remat) must match
+    autodiff of din_attention_ref in f32 for every (activation,
+    weight_normalization, return_scores) combination, including a fully
+    masked row (VERDICT r4 #1)."""
+    import jax
+    from recommender_system_tpu.ops.din_vjp import din_attention_remat
+    from recommender_system_tpu.ops.pallas_kernels import din_attention_ref
+
+    rng = np.random.default_rng(11)
+    B, T, K, h1, h2 = 6, 9, 8, 10, 5
+    query = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    keys = jnp.asarray(rng.standard_normal((B, T, K)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(B, T)) > 0.3)
+    mask = mask.at[0].set(False)  # one fully-masked row
+    w1 = jnp.asarray(rng.standard_normal((4 * K, h1)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(h1) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((h1, h2)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(h2) * 0.1, jnp.float32)
+    w3 = jnp.asarray(rng.standard_normal((h2, 1)) * 0.2, jnp.float32)
+    b3 = jnp.asarray(rng.standard_normal(1) * 0.1, jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((B, T)), jnp.float32)
+    cotk = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+
+    for act in ("sigmoid", "relu"):
+        for wn in (True, False):
+            for rs in (True, False):
+                g = cot if rs else cotk
+
+                def loss_ref(q, k, *ps):
+                    out = din_attention_ref(q, k, mask, *ps, act, wn, rs)
+                    return jnp.sum(out * g)
+
+                def loss_got(q, k, *ps):
+                    out = din_attention_remat(q, k, mask, *ps, act, wn, rs,
+                                              None)
+                    return jnp.sum(out * g)
+
+                args = (query, keys, w1, b1, w2, b2, w3, b3)
+                want_out = loss_ref(*args)
+                got_out = loss_got(*args)
+                np.testing.assert_allclose(np.asarray(got_out),
+                                           np.asarray(want_out),
+                                           rtol=1e-5, atol=1e-6)
+                want = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+                got = jax.grad(loss_got, argnums=tuple(range(8)))(*args)
+                for a, b in zip(got, want):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5,
+                        err_msg=f"act={act} wn={wn} rs={rs}")
+
+
+def test_din_attention_remat_bf16_grads_track_f32():
+    """bf16 remat grads must stay f32-dtyped and close to the f32 grads."""
+    import jax
+    from recommender_system_tpu.ops.din_vjp import din_attention_remat
+
+    rng = np.random.default_rng(13)
+    B, T, K, h1, h2 = 4, 7, 8, 6, 4
+    query = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    keys = jnp.asarray(rng.standard_normal((B, T, K)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(B, T)) > 0.3).at[:, 0].set(True)
+    w1 = jnp.asarray(rng.standard_normal((4 * K, h1)) * 0.2, jnp.float32)
+    b1 = jnp.zeros((h1,))
+    w2 = jnp.asarray(rng.standard_normal((h1, h2)) * 0.2, jnp.float32)
+    b2 = jnp.zeros((h2,))
+    w3 = jnp.asarray(rng.standard_normal((h2, 1)) * 0.2, jnp.float32)
+    b3 = jnp.zeros((1,))
+
+    def loss(dt, q, k, *ps):
+        return jnp.sum(din_attention_remat(q, k, mask, *ps,
+                                           "sigmoid", True, False, dt))
+
+    args = (query, keys, w1, b1, w2, b2, w3, b3)
+    g32 = jax.grad(lambda *a: loss(None, *a), argnums=tuple(range(8)))(*args)
+    g16 = jax.grad(lambda *a: loss("bfloat16", *a),
+                   argnums=tuple(range(8)))(*args)
+    for a, b in zip(g16, g32):
+        assert a.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.1, atol=0.05)
