@@ -61,6 +61,18 @@ class ExperimentConfig:
     # (single-device; the transfer-bound stream-loop fix — harness.py
     # _fit_stream_packed). 1 = per-batch staging.
     stream_steps_per_call: int = 8
+    # bounded shuffle pool (rows) for --stream; 0 = strict file order.
+    # One-pass in-order streaming measurably loses AUC vs shuffled
+    # in-memory training (BASELINE.md round 4: 0.557 vs 0.587) — the pool
+    # permutation recovers the reference's free model.fit shuffle.
+    stream_shuffle_rows: int = 0
+    # stop the stream after this many train steps (0 = run the stream dry);
+    # mainly for smoke runs and the checkpoint/resume test.
+    stream_max_steps: int = 0
+    # save a checkpoint every N stream steps (0 = only at the end) so a
+    # multi-hour out-of-core run is restartable (--resume skips the
+    # already-consumed rows) — SURVEY §5.3-4.
+    checkpoint_every: int = 0
 
     # parallelism (None = single device)
     mesh_data: Optional[int] = None

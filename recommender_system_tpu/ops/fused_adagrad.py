@@ -317,8 +317,11 @@ def stream_split_rows() -> int:
     """Gather-cliff threshold: a gather source at/above this many rows pays
     the slow per-row path on v5e (measured cliff between 417,792 and 524,288
     rows — reorder_micro 2026-08-21); oversize sites are split into
-    position-chunks below it. Read per call so RST_STREAM_SPLIT_ROWS can be
-    set for A/B measurement without an import-order trap."""
+    position-chunks below it. RST_STREAM_SPLIT_ROWS is read without an
+    import-order trap, but inside a jitted train step the value is baked in
+    at TRACE time — after the first compile a changed env var has no effect
+    in-process, so A/B runs must use fresh processes (or clear the jit
+    cache)."""
     return int(os.environ.get("RST_STREAM_SPLIT_ROWS", 458_752))
 
 

@@ -203,6 +203,9 @@ def run_stream(config: ExperimentConfig) -> dict:
 
     if not config.data_path:
         raise ValueError("--stream requires --data-path <criteo tsv>")
+    if config.epochs < 1:
+        raise ValueError(f"--stream requires --epochs >= 1, "
+                         f"got {config.epochs}")
     hash_buckets = config.hash_buckets or 1_000_000
     columns = criteo_columns(embedding_dim=config.embedding_dim,
                              hash_buckets=hash_buckets)
@@ -221,28 +224,66 @@ def run_stream(config: ExperimentConfig) -> dict:
                       explicit_lookup=config.explicit_lookup,
                       capacity_factor=config.capacity_factor)
 
-    def stream(path, epochs):
+    def stream(path, epochs, shuffle_rows=0):
         return stream_criteo(
             path, batch_size=config.batch_size, hash_buckets=hash_buckets,
             chunk_rows=config.stream_chunk_rows, epochs=epochs,
-            prefetch_chunks=config.stream_prefetch)
+            prefetch_chunks=config.stream_prefetch,
+            shuffle_buffer_rows=shuffle_rows, seed=config.seed)
 
     import itertools
 
     # pull one batch for init, then hand the SAME generator (first batch
     # re-chained) to epoch 0 — no abandoned background parser thread
-    first_stream = stream(config.data_path, 1)
+    first_stream = stream(config.data_path, 1, config.stream_shuffle_rows)
     first = next(first_stream)
     state = trainer.init(first[0])
+
+    checkpoint_fn = None
+    if config.checkpoint_dir:
+        from .training.checkpoint import (latest_step, restore_checkpoint,
+                                          save_checkpoint)
+
+        if config.resume and latest_step(config.checkpoint_dir) is not None:
+            state = restore_checkpoint(config.checkpoint_dir, state)
+            # re-materialize through host: computations on orbax-restored
+            # buffers deadlock on the axon backend
+            state = jax.tree.map(
+                lambda x: jax.device_put(np.asarray(x)), state)
+        if config.checkpoint_every:
+            def checkpoint_fn(st, _steps):
+                save_checkpoint(config.checkpoint_dir, st)
+
+    # resume skips the rows the restored state already consumed: the stream
+    # replays deterministically (same file order; the shuffle pool's RNG
+    # advances identically from config.seed), so dropping the first
+    # state.step batches reproduces the uninterrupted trajectory exactly.
+    done_steps = int(jax.device_get(state.step))
+    skip = {"batches": done_steps}
+
+    def skipping(it):
+        for item in it:
+            if skip["batches"] > 0:
+                skip["batches"] -= 1
+                continue
+            yield item
+
     if config.profile_dir:
         jax.profiler.start_trace(config.profile_dir)
     history = {"loss": [], "examples_per_sec": []}
     for epoch in range(config.epochs):
         epoch_stream = (itertools.chain([first], first_stream) if epoch == 0
-                        else stream(config.data_path, 1))
+                        else stream(config.data_path, 1,
+                                    config.stream_shuffle_rows))
+        remaining = (config.stream_max_steps - int(jax.device_get(state.step))
+                     if config.stream_max_steps else 0)
+        if config.stream_max_steps and remaining <= 0:
+            break
         state, ep = trainer.fit_stream(
-            state, epoch_stream, log_every=config.log_every,
-            steps_per_call=config.stream_steps_per_call)
+            state, skipping(epoch_stream), log_every=config.log_every,
+            steps_per_call=config.stream_steps_per_call,
+            checkpoint_every=config.checkpoint_every,
+            checkpoint_fn=checkpoint_fn, max_steps=remaining)
         for k, v in ep.items():  # one entry per epoch, accumulated
             history.setdefault(k, []).extend(v)
     if config.profile_dir:
@@ -260,22 +301,10 @@ def run_stream(config: ExperimentConfig) -> dict:
     if "embedding_overflow" in history:
         result["embedding_overflow"] = history["embedding_overflow"]
     if config.stream_eval_path:
-        from .utils.metrics import StreamingAUC
-
-        stream_auc = StreamingAUC()
-        eval_step = trainer._make_eval_step()
-        n, ll_sum = 0, 0.0
-        for xb, yb in stream(config.stream_eval_path, 1):
-            logits = np.asarray(eval_step(
-                state.params, state.batch_stats, xb)).ravel()
-            probs = 1.0 / (1.0 + np.exp(-logits))
-            stream_auc.update(yb, probs)
-            p = np.clip(probs, 1e-7, 1 - 1e-7)
-            ll_sum += float(-(yb * np.log(p)
-                              + (1 - yb) * np.log(1 - p)).sum())
-            n += len(yb)
-        result["auc"] = round(stream_auc.result(), 4)
-        result["logloss"] = round(ll_sum / max(n, 1), 4)
+        metrics = trainer.evaluate_stream(
+            state, stream(config.stream_eval_path, 1))
+        result["auc"] = round(metrics["auc"], 4)
+        result["logloss"] = round(metrics["logloss"], 4)
     return result
 
 
@@ -408,6 +437,20 @@ def parse_args(argv=None) -> ExperimentConfig:
                    default=defaults.stream_steps_per_call,
                    help="batches per packed transfer + scan dispatch in "
                         "--stream mode (1 = per-batch staging)")
+    p.add_argument("--stream-shuffle-rows", type=int,
+                   default=defaults.stream_shuffle_rows,
+                   help="bounded shuffle pool (rows) for --stream; 0 = "
+                        "strict file order (costs measured AUC vs shuffled "
+                        "training — BASELINE.md)")
+    p.add_argument("--stream-max-steps", type=int,
+                   default=defaults.stream_max_steps,
+                   help="stop --stream after N total train steps (0 = run "
+                        "the stream dry)")
+    p.add_argument("--checkpoint-every", type=int,
+                   default=defaults.checkpoint_every,
+                   help="--stream: save a checkpoint every N steps "
+                        "(requires --checkpoint-dir; --resume restarts "
+                        "from it, skipping consumed rows)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile-dir", default=None)
@@ -429,6 +472,9 @@ def parse_args(argv=None) -> ExperimentConfig:
         stream_prefetch=args.stream_prefetch,
         stream_eval_path=args.stream_eval_path,
         stream_steps_per_call=args.stream_steps_per_call,
+        stream_shuffle_rows=args.stream_shuffle_rows,
+        stream_max_steps=args.stream_max_steps,
+        checkpoint_every=args.checkpoint_every,
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         profile_dir=args.profile_dir, log_every=args.log_every)
 

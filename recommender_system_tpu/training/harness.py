@@ -518,15 +518,29 @@ class Trainer:
 
     @staticmethod
     def _pack_group(spec, group):
-        """[(batch_dict, labels)] x K -> ({kind: [K,B,W]}, labels [K,B...])."""
+        """[(batch_dict, labels)] x K -> ({kind: [K,B,W]}, labels [K,B...]).
+
+        Integer features are packed as int32; 64-bit ids outside int32 range
+        raise instead of silently wrapping (which would diverge from the
+        per-batch path — all built-in datasets emit int32, but external
+        callers may not)."""
         packed = {}
         for kind, feats in spec.items():
             dt = np.int32 if kind == "i" else np.float32
-            packed[kind] = np.stack([
-                np.concatenate(
-                    [np.asarray(xb[k]).reshape(len(yb), -1).astype(
-                        dt, copy=False) for k, w, shp, _ in feats], axis=1)
-                for xb, yb in group])
+            rows = []
+            for xb, yb in group:
+                cols = []
+                for k, w, shp, _ in feats:
+                    a = np.asarray(xb[k]).reshape(len(yb), -1)
+                    if (kind == "i" and a.dtype.itemsize > 4 and a.size
+                            and (a.max() >= 2 ** 31 or a.min() < -(2 ** 31))):
+                        raise ValueError(
+                            f"packed stream: feature {k!r} has {a.dtype} ids "
+                            f"outside int32 range; hash/bucket them below "
+                            f"2^31 or use steps_per_call=1")
+                    cols.append(a.astype(dt, copy=False))
+                rows.append(np.concatenate(cols, axis=1))
+            packed[kind] = np.stack(rows)
         labels = np.stack([np.asarray(yb) for _, yb in group])
         return packed, labels
 
@@ -664,7 +678,9 @@ class Trainer:
         return state, history
 
     def fit_stream(self, state: TrainState, batches, log_every: int = 0,
-                   steps_per_call: int = 1):
+                   steps_per_call: int = 1, checkpoint_every: int = 0,
+                   checkpoint_fn: Optional[Callable] = None,
+                   max_steps: int = 0):
         """Train over a ``(batch_dict, labels)`` iterator (out-of-core path).
 
         Double-buffered host->device staging: the NEXT batch's transfer is
@@ -678,10 +694,18 @@ class Trainer:
         ``lax.scan`` dispatch (see :meth:`make_multi_step_packed`) — the
         high-latency-link fix for the transfer-bound stream loop (measured
         42k -> device/link-bound ex/s on the axon tunnel, BASELINE.md r4).
+
+        ``checkpoint_every`` calls ``checkpoint_fn(state, steps_done)`` every
+        that many steps so a multi-hour stream run is restartable (the save
+        fetches device state, stalling the stream for its duration — cadence
+        accordingly). ``max_steps`` stops the stream after that many steps
+        (0 = run it dry). On the packed path both act at group granularity
+        (every K steps; stop may overshoot by < K).
         """
         if steps_per_call > 1 and self.mesh is None:
             return self._fit_stream_packed(state, batches, log_every,
-                                           steps_per_call)
+                                           steps_per_call, checkpoint_every,
+                                           checkpoint_fn, max_steps)
         if self._train_step is None:
             self._train_step = self._make_train_step()
         history = {"loss": [], "examples_per_sec": []}
@@ -720,6 +744,11 @@ class Trainer:
             if log_every and len(losses) % log_every == 0:
                 print(f"stream step {len(losses)} "
                       f"loss {float(losses[-1]):.4f}")
+            if (checkpoint_every and checkpoint_fn is not None
+                    and len(losses) % checkpoint_every == 0):
+                checkpoint_fn(state, len(losses))
+            if max_steps and len(losses) >= max_steps:
+                break
         if losses:
             float(losses[-1])  # force completion inside the timed region
         dt = time.perf_counter() - t0
@@ -731,7 +760,9 @@ class Trainer:
                 int(jnp.sum(jnp.asarray(overflows)))]
         return state, history
 
-    def _fit_stream_packed(self, state, batches, log_every, steps_per_call):
+    def _fit_stream_packed(self, state, batches, log_every, steps_per_call,
+                           checkpoint_every: int = 0, checkpoint_fn=None,
+                           max_steps: int = 0):
         """Packed-group stream loop: K batches -> 3 transfers + 1 dispatch.
 
         Pipelined one group deep: group n+1's transfers are enqueued
@@ -765,6 +796,9 @@ class Trainer:
             if log_every and steps % log_every < steps_per_call:
                 print(f"stream step {steps} "
                       f"loss {float(jax.tree.leaves(losses)[0][-1]):.4f}")
+            if (checkpoint_every and checkpoint_fn is not None
+                    and steps % checkpoint_every < steps_per_call):
+                checkpoint_fn(st, steps)
             return st
 
         def flush_single(st, items):
@@ -782,7 +816,11 @@ class Trainer:
                 steps += 1
             return st
 
+        stopped = False
         for xb, yb in batches:
+            if max_steps and steps >= max_steps:
+                stopped = True  # drop staged-but-undispatched work
+                break
             B = len(np.asarray(yb))
             n_examples += B
             if spec is None:
@@ -812,9 +850,10 @@ class Trainer:
                 if staged is not None:
                     state = dispatch(state, staged)
                 staged = nxt
-        if staged is not None:
-            state = dispatch(state, staged)
-        state = flush_single(state, group)  # tail < K batches
+        if not stopped:
+            if staged is not None:
+                state = dispatch(state, staged)
+            state = flush_single(state, group)  # tail < K batches
         history = {"loss": [], "examples_per_sec": []}
         if loss_chunks:
             flat = jnp.concatenate(
@@ -865,17 +904,28 @@ class Trainer:
         return out
 
     def _evaluate_streaming(self, state, X, y, batch_size):
+        return self.evaluate_stream(
+            state, iter_batches(X, y, batch_size, shuffle=False,
+                                drop_remainder=False))
+
+    def evaluate_stream(self, state, batches) -> Dict[str, float]:
+        """Streaming metrics over a ``(batch_dict, labels)`` iterator:
+        histogram AUC + logloss + accuracy in O(bins) memory.
+
+        The single streaming-eval loop — used by both the in-memory
+        ``evaluate(streaming=True)`` path and the out-of-core CLI
+        (``train.run_stream --stream-eval-path``)."""
         if self._eval_step is None:
             self._eval_step = self._make_eval_step()
         stream = metrics_lib.StreamingAUC()
         ll_sum = 0.0
         correct = 0
         n = 0
-        for xb, yb in iter_batches(X, y, batch_size, shuffle=False,
-                                   drop_remainder=False):
+        for xb, yb in batches:
             xb = self._place_batch(xb)
             logits = np.asarray(
                 self._eval_step(state.params, state.batch_stats, xb)).ravel()
+            yb = np.asarray(yb)
             probs = 1.0 / (1.0 + np.exp(-logits))
             stream.update(yb, probs)
             p = np.clip(probs, 1e-7, 1 - 1e-7)

@@ -286,3 +286,127 @@ def test_fit_stream_packed_ragged_and_cache():
     # second call reuses the cached compiled scan (one entry, same object)
     state, _ = tr.fit_stream(state, batches([64] * 5), steps_per_call=5)
     assert len(tr._packed_multi_cache) == 1
+
+
+def test_stream_shuffle_buffer():
+    """Bounded shuffle pool (VERDICT r4 #4): same row multiset as the
+    in-order stream, different order, deterministic under a seed."""
+    buckets = 1 << 12
+
+    def collect(**kw):
+        ys, c5 = [], []
+        for X, y in stream_criteo(CRITEO, batch_size=512,
+                                  hash_buckets=buckets, chunk_rows=3000,
+                                  drop_remainder=False, **kw):
+            ys.append(y)
+            c5.append(X["C5"])
+        return np.concatenate(ys), np.concatenate(c5)
+
+    y0, c0 = collect()
+    y1, c1 = collect(shuffle_buffer_rows=4096, seed=7)
+    y1b, c1b = collect(shuffle_buffer_rows=4096, seed=7)
+    y2, c2 = collect(shuffle_buffer_rows=4096, seed=8)
+
+    assert len(y1) == len(y0)
+    # same rows overall (multiset equality on the (label, C5) pairs)
+    key0 = np.sort(c0.astype(np.int64) * 2 + y0.astype(np.int64))
+    key1 = np.sort(c1.astype(np.int64) * 2 + y1.astype(np.int64))
+    np.testing.assert_array_equal(key0, key1)
+    # genuinely shuffled, deterministic per seed, seed-sensitive
+    assert not np.array_equal(c0, c1)
+    np.testing.assert_array_equal(c1, c1b)
+    assert not np.array_equal(c1, c2)
+
+
+def test_evaluate_stream_unifies_streaming_eval():
+    """VERDICT r4 #9: evaluate(streaming=True) and the CLI stream-eval path
+    must share one loop — evaluate_stream — and agree with exact eval."""
+    import optax
+
+    from recommender_system_tpu.models import DeepFM
+    from recommender_system_tpu.training import Trainer
+    from recommender_system_tpu.utils.datasets import (iter_batches,
+                                                       load_criteo)
+
+    cols, Xtr, ytr, Xte, yte = load_criteo(hash_buckets=1 << 12)
+    tr = Trainer(DeepFM(tuple(cols), hidden_units=(16, 8)),
+                 optimizer=optax.adagrad(0.05))
+    state = tr.init(next(iter_batches(Xtr, ytr, 512))[0])
+    state, _ = tr.fit(state, Xtr, ytr, batch_size=512, epochs=1)
+
+    exact = tr.evaluate(state, Xte, yte)
+    streaming = tr.evaluate(state, Xte, yte, streaming=True)
+    direct = tr.evaluate_stream(
+        state, iter_batches(Xte, yte, 1024, shuffle=False,
+                            drop_remainder=False))
+    assert abs(streaming["auc"] - direct["auc"]) < 1e-12
+    assert abs(streaming["logloss"] - direct["logloss"]) < 1e-12
+    assert abs(exact["auc"] - streaming["auc"]) < 0.01
+    np.testing.assert_allclose(exact["logloss"], streaming["logloss"],
+                               rtol=1e-5)
+
+
+def test_stream_cli_checkpoint_resume(tmp_path):
+    """VERDICT r4 #5: a --stream run stopped mid-way (--stream-max-steps,
+    periodic --checkpoint-every) and resumed with --resume must reach the
+    SAME final state as the uninterrupted run (deterministic skip of
+    consumed rows)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from recommender_system_tpu.train import parse_args, run
+
+    trp, _ = _split_criteo(tmp_path)
+    base = [
+        "--stream", "--data-path", trp, "--model", "deepfm",
+        "--hash-buckets", "4096", "--batch-size", "512", "--epochs", "1",
+        "--hidden-units", "16", "8", "--embedding-dim", "8",
+        "--stream-chunk-rows", "2048", "--stream-steps-per-call", "1",
+        "--learning-rate", "0.05", "--optimizer", "adagrad",
+    ]
+    ck_a = str(tmp_path / "ck_a")
+    run(parse_args(base + ["--checkpoint-dir", ck_a]))
+
+    ck_b = str(tmp_path / "ck_b")
+    run(parse_args(base + ["--checkpoint-dir", ck_b,
+                           "--checkpoint-every", "2",
+                           "--stream-max-steps", "5"]))
+    from recommender_system_tpu.training.checkpoint import latest_step
+    assert latest_step(ck_b) == 5  # stopped mid-run
+    run(parse_args(base + ["--checkpoint-dir", ck_b, "--resume"]))
+
+    sa, sb = latest_step(ck_a), latest_step(ck_b)
+    assert sa == sb and sa > 5
+    ckptr = ocp.StandardCheckpointer()
+    tree_a = ckptr.restore(os.path.join(ck_a, str(sa)))
+    tree_b = ckptr.restore(os.path.join(ck_b, str(sb)))
+    la, lb = jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_stream_cli_rejects_zero_epochs(tmp_path):
+    """ADVICE r4: --stream --epochs 0 must fail fast, not NaN."""
+    from recommender_system_tpu.train import parse_args, run
+
+    trp, _ = _split_criteo(tmp_path)
+    with pytest.raises(ValueError, match="epochs"):
+        run(parse_args(["--stream", "--data-path", trp, "--epochs", "0"]))
+
+
+def test_pack_group_rejects_out_of_range_int64():
+    """ADVICE r4: int64 ids outside int32 range must raise in the packed
+    stream path instead of silently wrapping."""
+    from recommender_system_tpu.training.harness import Trainer
+
+    y = np.zeros(4, np.float32)
+    ok = {"ids": np.array([1, 2, 3, 2**31 - 1], np.int64)}
+    spec = Trainer._pack_spec(ok)
+    packed, _ = Trainer._pack_group(spec, [(ok, y)])
+    assert packed["i"].dtype == np.int32
+
+    bad = {"ids": np.array([1, 2, 3, 2**31], np.int64)}
+    with pytest.raises(ValueError, match="int32 range"):
+        Trainer._pack_group(Trainer._pack_spec(bad), [(bad, y)])
