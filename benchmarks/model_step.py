@@ -30,21 +30,49 @@ def timeit(fn, *args, n=20):
     return (time.perf_counter() - t0) / n
 
 
+CRITEO_STYLE = ("deepfm", "dcn", "wide_deep", "pnn", "nfm", "afm", "ffm",
+                "fnn", "deep_crossing", "mmoe")
+
+
 def make_case(name: str, batch: int, dnn_dtype=None):
     """Returns (model, batch_dict, labels, loss_fn|None) at the BASELINE.md
     config for ``name``."""
-    from recommender_system_tpu.models import DIEN, DIN, DSSM, DeepFM
+    from recommender_system_tpu import models as M
+    from recommender_system_tpu.models import DIEN, DIN, DSSM
     from recommender_system_tpu.utils.datasets import synthetic_criteo
     from recommender_system_tpu.utils.features import (DenseFeat, SparseFeat,
                                                        VarLenSparseFeat)
 
     rng = np.random.default_rng(0)
-    if name == "deepfm":
+    if name in CRITEO_STYLE:
         cols, X, y = synthetic_criteo(n_rows=batch, vocab=100_000,
                                       embedding_dim=8, seed=0)
-        model = DeepFM(tuple(cols), hidden_units=(256, 128, 64),
-                       dnn_dtype=dnn_dtype)
-        return model, {k: jnp.asarray(v) for k, v in X.items()}, \
+        dt = dict(dnn_dtype=dnn_dtype) if dnn_dtype is not None else {}
+        makers = {
+            "deepfm": lambda: M.DeepFM(tuple(cols),
+                                       hidden_units=(256, 128, 64), **dt),
+            "dcn": lambda: M.DCN(tuple(cols), cross_layers=6,
+                                 hidden_units=(256, 128, 64), **dt),
+            "wide_deep": lambda: M.WideDeep(tuple(cols),
+                                            hidden_units=(256, 128, 64),
+                                            **dt),
+            "pnn": lambda: M.PNN(tuple(cols), mode="inner",
+                                 hidden_units=(256, 128, 64), **dt),
+            "nfm": lambda: M.NFM(tuple(cols), hidden_units=(256, 128, 64),
+                                 **dt),
+            "afm": lambda: M.AFM(tuple(cols)),
+            "ffm": lambda: M.FFM(tuple(cols), factor_dim=4),
+            "fnn": lambda: M.FNN(tuple(cols), hidden_units=(256, 128, 64),
+                                 **dt),
+            "deep_crossing": lambda: M.DeepCrossing(
+                tuple(cols), hidden_units=(256, 128), num_res_blocks=3),
+            "mmoe": lambda: M.MMOE(feature_columns=tuple(cols), num_tasks=2,
+                                   num_experts=4, expert_units=64,
+                                   tower_hidden_units=(64,)),
+        }
+        if name == "mmoe":
+            y = np.stack([y, (y[::-1]).astype(np.float32)], axis=1)
+        return makers[name](), {k: jnp.asarray(v) for k, v in X.items()}, \
             jnp.asarray(y), None
 
     T, V, d = 50, 200_000, 32
@@ -98,7 +126,7 @@ def make_case(name: str, batch: int, dnn_dtype=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="dien",
-                    choices=["deepfm", "din", "dien", "dssm"])
+                    choices=list(CRITEO_STYLE) + ["din", "dien", "dssm"])
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
     ap.add_argument("--fused", action="store_true",

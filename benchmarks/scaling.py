@@ -118,6 +118,37 @@ def _din_fused_explicit_case(mesh, n):
     return tr, batch, labels, B
 
 
+def _dien_fused_explicit_case(mesh, n):
+    """DIEN under the PRODUCTION path: 3 lookup sites (query + hist + neg
+    hist) through ONE shared stack, GRU/AUGRU scans, aux loss — the deepest
+    cotangent stream in the zoo through sharded_fused_update, including the
+    per-shard position-chunk split when the received stream would cross the
+    gather cliff (VERDICT r4 #3)."""
+    import optax
+
+    from recommender_system_tpu.models import DIEN
+    from recommender_system_tpu.training import FusedAdagrad, Trainer
+    from recommender_system_tpu.utils.features import (SparseFeat,
+                                                       VarLenSparseFeat)
+
+    cols, batch, labels, B = _din_batch(n)
+    T, V = 16, VOCAB
+    cols = cols + (VarLenSparseFeat(
+        SparseFeat("neg_hist_item_id", V, 8, embedding_name="item_id"),
+        maxlen=T),)
+    rng = np.random.default_rng(1)
+    hist = np.asarray(batch["hist_item_id"])
+    batch = dict(batch)
+    batch["neg_hist_item_id"] = jnp.asarray(np.where(
+        hist > 0, rng.integers(1, V, size=hist.shape), 0).astype(np.int32))
+    model = DIEN(cols, behavior_feature_list=("item_id",),
+                 use_negsampling=True, hidden_units=(64, 32))
+    tr = Trainer(model, optimizer=optax.adagrad(0.05),
+                 fused_embedding=FusedAdagrad(0.05), mesh=mesh,
+                 capacity_factor=float(max(2, n)), explicit_lookup=True)
+    return tr, batch, labels, B
+
+
 def _dssm_explicit_dense_case(mesh, n):
     """DSSM with explicit_lookup under DENSE optax: the census covers the
     *gradient* of alltoall_take (AD transposes the two all_to_alls + a
@@ -200,9 +231,14 @@ def run_case(name, make_case, n):
         state, out = step(state, batch, labels)
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / STEPS
+    # wall-clock on INTERPRETED-Pallas virtual CPU devices is meaningless
+    # (VERDICT r4 weak #4: a consumer read a 200x "scaling collapse" out of
+    # it) — keep it only under an explicit caveat key; the collective
+    # counts are the artifact's real content.
     return {"model": name, "n_devices": n, "batch": B,
-            "examples_per_sec": round(B / dt, 1), "collectives": counts,
-            "stack_allgathers": stack_ags}
+            "collectives": counts, "stack_allgathers": stack_ags,
+            "virtual_cpu_examples_per_sec": round(B / dt, 1),
+            "wallclock_meaningless": True}
 
 
 def main(out_path=None):
@@ -212,20 +248,20 @@ def main(out_path=None):
     for name, case in (("deepfm_fused_explicit", _deepfm_case),
                        ("din", _din_case),
                        ("din_fused_explicit", _din_fused_explicit_case),
+                       ("dien_fused_explicit", _dien_fused_explicit_case),
                        ("dssm_explicit_dense", _dssm_explicit_dense_case)):
         for n in (1, 2, 4, 8):
             r = run_case(name, case, n)
             results.append(r)
             print(json.dumps(r))
-    base = {r["model"]: r["examples_per_sec"] for r in results
-            if r["n_devices"] == 1}
-    for r in results:
-        r["weak_scaling_efficiency"] = round(
-            r["examples_per_sec"] / (base[r["model"]] * r["n_devices"]), 3)
     summary = {"summary": [
-        {k: r[k] for k in ("model", "n_devices", "examples_per_sec",
-                           "weak_scaling_efficiency")} for r in results],
-        "any_stack_allgather": any(r["stack_allgathers"] for r in results)}
+        {k: r[k] for k in ("model", "n_devices", "collectives")}
+        for r in results],
+        "any_stack_allgather": any(r["stack_allgathers"] for r in results),
+        "note": ("collective counts are compiled-HLO structure (hardware-"
+                 "independent); wall-clock fields come from interpreted-"
+                 "Pallas virtual CPU devices and carry NO performance "
+                 "signal — see BASELINE.md for real-chip numbers")}
     print(json.dumps(summary))
     if out_path:
         with open(out_path, "w") as f:

@@ -170,9 +170,18 @@ def _update_body(stack_l, slots_l, lids_l, ct_l, lr, step, *, cfg, n, K,
     # sentinel ids stay >= K*pack after rebasing: the kernel's sorted-stream
     # queue never visits them (same padding contract as the single-chip path)
     local = recv_ids - me * K * pack
+    # per-shard streams can recross the v5e gather cliff (~2^19 rows) at
+    # small mesh sizes (stream/shard ~= capacity_factor * total / n, e.g. a
+    # DIEN 8192-batch 827k-row stream at n=2): position-chunk the received
+    # stream below the cliff exactly like the single-device multi-stream
+    # queue (VERDICT r4 #3; ops/fused_adagrad.py split_oversize_sites)
+    from ..ops.fused_adagrad import split_oversize_sites, stream_split_rows
+    sites = None
+    if local.shape[0] > stream_split_rows():
+        sites = split_oversize_sites([(local, recv_ct, None)])
     new_stack, new_slots = cfg.apply(
         stack_l, slots_l, local, recv_ct, lr=lr, step=step, pack=pack,
-        dim=dim, stream_dtype=stream_dtype)
+        dim=dim, stream_dtype=stream_dtype, sites=sites)
     return new_stack, new_slots, overflow[None]
 
 

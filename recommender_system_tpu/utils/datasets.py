@@ -493,6 +493,84 @@ def load_avazu(
             {k: v[te] for k, v in X.items()}, y[te])
 
 
+def synthetic_avazu(path: str, n_rows: int = 1_250_000,
+                    n_sites: int = 500, n_apps: int = 300,
+                    seed: int = 0) -> int:
+    """Write a deterministic synthetic CSV in the kaggle Avazu ``train.csv``
+    schema (id, click, hour YYMMDDHH, C1, banner_pos, site_*, app_*,
+    device_*, C14..C21) with LEARNABLE structure, so the full ``load_avazu``
+    pipeline (hashing, hour expansion) runs end to end at scale:
+
+    - per-site and per-app quality scores (additive logit terms),
+    - banner position / hour-of-day / device-type effects,
+    - a MULTIPLICATIVE site_category x app_category latent-factor term
+      (u_sc . v_ac) that linear models cannot express — the signal the
+      interaction-kernel family (DCN/PNN/NFM, BASELINE.json config 3) is
+      built for.
+
+    Stand-in for the real Avazu train.csv (network-unavailable here; pass a
+    real file to ``benchmarks.avazu_parity --csv`` instead). Returns the
+    number of rows written. Mean CTR ~0.17, matching Avazu's.
+    """
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    n_cats = 20
+    q_site = rng.normal(0, 0.5, n_sites)
+    q_app = rng.normal(0, 0.4, n_apps)
+    u_sc = rng.normal(0, 1.0, (n_cats, 8)) / np.sqrt(8)
+    v_ac = rng.normal(0, 1.0, (n_cats, 8)) / np.sqrt(8)
+    site_cat = rng.integers(0, n_cats, n_sites)
+    app_cat = rng.integers(0, n_cats, n_apps)
+    dtype_eff = {0: 0.0, 1: 0.15, 4: -0.2, 5: -0.35}
+
+    site = rng.integers(0, n_sites, n_rows)
+    app = rng.integers(0, n_apps, n_rows)
+    pos = rng.choice([0, 1, 2, 3, 4, 5, 7], n_rows,
+                     p=[0.55, 0.25, 0.08, 0.05, 0.03, 0.02, 0.02])
+    day = rng.integers(0, 10, n_rows)
+    hod = rng.integers(0, 24, n_rows)
+    dtv = rng.choice([0, 1, 4, 5], n_rows, p=[0.06, 0.80, 0.09, 0.05])
+
+    cross = np.einsum("nk,nk->n", u_sc[site_cat[site]], v_ac[app_cat[app]])
+    logit = (-1.85 + q_site[site] + q_app[app] - 0.12 * pos
+             + 0.25 * np.sin(2 * np.pi * hod / 24.0)
+             + np.vectorize(dtype_eff.get)(dtv) + 1.3 * cross)
+    click = (rng.random(n_rows) < 1.0 / (1.0 + np.exp(-logit))).astype(np.int8)
+
+    df = pd.DataFrame({
+        "id": np.arange(n_rows, dtype=np.int64) + 10_000_000_000,
+        "click": click,
+        "hour": 14102100 + day * 100 + hod,
+        "C1": 1000 + rng.integers(0, 8, n_rows),
+        "banner_pos": pos,
+        "site_id": np.char.add("s", site.astype("U6")),
+        "site_domain": np.char.add("sd", (site // 5).astype("U6")),
+        "site_category": np.char.add("sc", site_cat[site].astype("U3")),
+        "app_id": np.char.add("a", app.astype("U6")),
+        "app_domain": np.char.add("ad", (app // 4).astype("U6")),
+        "app_category": np.char.add("ac", app_cat[app].astype("U3")),
+        "device_id": np.char.add(
+            "d", rng.integers(0, 200_000, n_rows).astype("U7")),
+        "device_ip": np.char.add(
+            "ip", rng.integers(0, 800_000, n_rows).astype("U7")),
+        "device_model": np.char.add(
+            "m", rng.integers(0, 3000, n_rows).astype("U5")),
+        "device_type": dtv,
+        "device_conn_type": rng.choice([0, 2, 3, 5], n_rows),
+        "C14": 15000 + rng.integers(0, 2000, n_rows),
+        "C15": rng.choice([300, 320, 728], n_rows),
+        "C16": rng.choice([50, 250, 90], n_rows),
+        "C17": 1700 + (site // 2),
+        "C18": rng.integers(0, 4, n_rows),
+        "C19": 30 + rng.integers(0, 60, n_rows),
+        "C20": rng.choice([-1, 100000, 100100, 100200], n_rows),
+        "C21": rng.integers(0, 100, n_rows),
+    })
+    df.to_csv(path, index=False)
+    return n_rows
+
+
 # ---------------------------------------------------------------------------
 # Amazon Electronics behavior sequences (DIN/DIEN, BASELINE.json config 4)
 # ---------------------------------------------------------------------------

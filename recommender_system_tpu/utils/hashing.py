@@ -41,25 +41,41 @@ def hash_ids(ids, num_buckets: int, mask_zero: bool = False, salt: int = 0):
 
 
 def hash_strings_np(values, num_buckets: int, mask_zero: bool = False, salt: int = 0) -> np.ndarray:
-    """Host-side FNV-1a string/bytes hashing into buckets (numpy, vectorized loop).
+    """Host-side FNV-1a string/bytes hashing into buckets (numpy, vectorized).
 
     Used by data loaders for raw categorical strings (e.g. Criteo hex tokens),
     replacing the reference's LabelEncoder / in-graph string hash
     (``utils/dataset.py:49-52``, ``layer/utils.py:48``).
+
+    Hashes all N strings column-wise over a null-padded byte matrix — one
+    vectorized pass per byte position instead of a python loop per byte
+    (the per-string loop took minutes on 20M+ Avazu tokens; bit-exact with
+    it and with the C++ streaming parser's FNV-1a). Missing values (None,
+    empty, NaN) hash to 0 when ``mask_zero`` else to the empty-string hash.
     """
-    out = np.empty(len(values), dtype=np.int64)
+    n = len(values)
     lo = 1 if mask_zero else 0
-    span = num_buckets - lo
+    span = np.uint64(num_buckets - lo)
     basis = np.uint64(0xCBF29CE484222325) ^ np.uint64(salt)
     prime = np.uint64(0x100000001B3)
-    for i, v in enumerate(values):
-        if v is None or v == "" or (isinstance(v, float) and np.isnan(v)):
-            out[i] = 0 if mask_zero else int(basis % np.uint64(span)) + lo
-            continue
-        if not isinstance(v, (bytes, bytearray)):
-            v = str(v).encode()
-        h = basis
-        for b in v:
-            h = np.uint64((int(h) ^ b) * int(prime) & 0xFFFFFFFFFFFFFFFF)
-        out[i] = int(h % np.uint64(span)) + lo
-    return out.astype(np.int64)
+    bvals = [
+        b"" if (v is None or v == ""
+                or (isinstance(v, float) and np.isnan(v)))
+        else (bytes(v) if isinstance(v, (bytes, bytearray))
+              else str(v).encode())
+        for v in values
+    ]
+    lens = np.fromiter((len(b) for b in bvals), np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    h = np.full(n, basis, np.uint64)
+    if maxlen:
+        mat = np.frombuffer(
+            np.array(bvals, dtype=f"S{maxlen}").tobytes(), np.uint8,
+        ).reshape(n, maxlen)
+        for j in range(maxlen):
+            active = j < lens
+            h = np.where(active, (h ^ mat[:, j].astype(np.uint64)) * prime, h)
+    out = (h % span).astype(np.int64) + lo
+    if mask_zero:
+        out[lens == 0] = 0
+    return out

@@ -321,3 +321,56 @@ def test_synthetic_amazon_reviews_din_learns(tmp_path):
     state, hist = tr.fit(state, Xtr, ytr, batch_size=256, epochs=3)
     metrics = tr.evaluate(state, Xte, yte)
     assert metrics["auc"] > 0.62, metrics
+
+
+def test_hash_strings_vectorized_exact():
+    """The column-wise vectorized FNV-1a must be bit-exact with the
+    per-string reference loop (guards the round-5 vectorization; the
+    streaming path separately pins these hashes to the C++ parser's)."""
+    def ref_loop(values, num_buckets, mask_zero=False, salt=0):
+        out = np.empty(len(values), dtype=np.int64)
+        lo = 1 if mask_zero else 0
+        span = num_buckets - lo
+        basis = np.uint64(0xCBF29CE484222325) ^ np.uint64(salt)
+        prime = np.uint64(0x100000001B3)
+        for i, v in enumerate(values):
+            if v is None or v == "" or (isinstance(v, float) and np.isnan(v)):
+                out[i] = 0 if mask_zero else int(basis % np.uint64(span)) + lo
+                continue
+            if not isinstance(v, (bytes, bytearray)):
+                v = str(v).encode()
+            h = basis
+            for b in v:
+                h = np.uint64((int(h) ^ b) * int(prime) & (2**64 - 1))
+            out[i] = int(h % np.uint64(span)) + lo
+        return out
+
+    rng = np.random.default_rng(3)
+    vals = ["", None, float("nan"), "a", b"bytes", "0", -17, 3.5,
+            "x" * 40] + [f"tok{rng.integers(0, 1 << 30):x}"
+                         for _ in range(500)]
+    for mask_zero in (False, True):
+        for salt in (0, 13):
+            np.testing.assert_array_equal(
+                hash_strings_np(vals, 4099, mask_zero, salt),
+                ref_loop(vals, 4099, mask_zero, salt))
+
+
+def test_synthetic_avazu_fixture(tmp_path):
+    """synthetic_avazu writes a kaggle-schema CSV that load_avazu consumes;
+    CTR lands near Avazu's ~0.17 and the category-cross signal is learnable
+    (exercised at scale by benchmarks/avazu_parity.py)."""
+    from recommender_system_tpu.utils.datasets import (load_avazu,
+                                                       synthetic_avazu)
+
+    p = str(tmp_path / "train.csv")
+    assert synthetic_avazu(p, n_rows=6000, seed=1) == 6000
+    cols, Xtr, ytr, Xte, yte = load_avazu(p, hash_buckets=4096)
+    assert len(cols) == 23  # 21 hashed + hour_of_day + day_of_week
+    assert len(ytr) + len(yte) == 6000
+    assert 0.10 < float(np.mean(ytr)) < 0.25
+    assert Xtr["site_id"].max() < 4096
+    # deterministic per seed
+    p2 = str(tmp_path / "train2.csv")
+    synthetic_avazu(p2, n_rows=6000, seed=1)
+    assert open(p).read() == open(p2).read()

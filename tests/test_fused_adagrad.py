@@ -186,3 +186,29 @@ def test_split_oversize_sites_preserves_semantics():
                                np.asarray(single_stack), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(split_acc),
                                np.asarray(single_acc), rtol=1e-4, atol=1e-5)
+
+
+def test_multi_stream_batched_sort_same_length_sites():
+    """Same-length unsorted sites (DIEN's hist + neg-hist) go through ONE
+    batched lax.sort (VERDICT r4 #6) — semantics must stay exactly the
+    concatenated single stream's."""
+    rng = np.random.default_rng(5)
+    rows, L, pack, dim = 128, 128, 4, 32
+    stack = jnp.asarray(rng.normal(size=(rows, L)).astype(np.float32))
+    acc = jnp.full((rows, L), 0.1, jnp.float32)
+    n = 512
+    site_ids = [jnp.asarray(rng.integers(0, rows * pack, size=n,
+                                         dtype=np.int32)) for _ in range(2)]
+    site_ct = [jnp.asarray(rng.normal(size=(n, dim)).astype(np.float32))
+               for _ in range(2)]
+    lids, ct = jnp.concatenate(site_ids), jnp.concatenate(site_ct)
+    kw = dict(pack=pack, dim=dim, lr=0.05, tile_rows=64, chunk=128)
+    multi = jax.jit(lambda s, a, i, c, sites: fused_adagrad_apply(
+        s, a, i, c, sites=sites, **kw))(
+        stack, acc, lids, ct,
+        [(i, c, None) for i, c in zip(site_ids, site_ct)])
+    single = jax.jit(lambda s, a, i, c: fused_adagrad_apply(
+        s, a, i, c, **kw))(stack, acc, lids, ct)
+    for a, b in zip(multi, single):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -284,3 +284,82 @@ def test_dssm_mesh_explicit_matches_single_device(mesh, rng):
         np.testing.assert_allclose(
             np.asarray(ms.params["embeddings"][key]),
             np.asarray(ss.params["embeddings"][key]), rtol=5e-3, atol=5e-4)
+
+
+def _dien_setup(rng, B=128, T=8, V=64):
+    """DIN setup + neg-history varlen column (3 lookup sites through the
+    shared item_id table: query [B], hist [B,T], neg hist [B,T])."""
+    from recommender_system_tpu.utils.features import (SparseFeat,
+                                                       VarLenSparseFeat)
+
+    cols, X, y = _din_setup(rng, B=B, T=T, V=V)
+    cols = cols + (VarLenSparseFeat(
+        SparseFeat("neg_hist_item_id", V, 8, embedding_name="item_id"),
+        maxlen=T),)
+    X = dict(X)
+    hist = np.asarray(X["hist_item_id"])
+    neg = rng.integers(1, V, size=hist.shape).astype(np.int32)
+    X["neg_hist_item_id"] = jnp.asarray(np.where(hist > 0, neg, 0))
+    return cols, X, y
+
+
+def test_dien_mesh_fused_explicit_matches_single_device(mesh, rng):
+    """DIEN under Trainer(mesh, fused_embedding, explicit_lookup): the
+    deepest model in the zoo — 3 lookup sites through one shared table,
+    GRU+AUGRU, aux loss on neg histories — must track the single-device
+    fused trainer step for step (VERDICT r4 #3)."""
+    from recommender_system_tpu.models import DIEN
+
+    cols, X, y = _dien_setup(rng)
+    lr = 0.05
+    model = DIEN(cols, behavior_feature_list=("item_id",),
+                 use_negsampling=True, hidden_units=(16, 8))
+
+    single = Trainer(model, optimizer=optax.adagrad(lr), seed=3,
+                     fused_embedding=FusedAdagrad(lr))
+    sharded = Trainer(model, optimizer=optax.adagrad(lr), seed=3,
+                      fused_embedding=FusedAdagrad(lr), mesh=mesh,
+                      capacity_factor=8.0, explicit_lookup=True)
+    ss, ms = single.init(X), sharded.init(X)
+    s_step, m_step = single._make_train_step(), sharded._make_train_step()
+    for i in range(3):
+        ss, sl = s_step(ss, X, y)
+        ms, out = m_step(ms, X, y)
+        assert int(out["embedding_overflow"]) == 0
+        np.testing.assert_allclose(float(out["loss"]), float(sl), rtol=2e-3,
+                                   err_msg=f"loss diverged at step {i}")
+    s_stack = np.asarray(ss.params["embeddings"]["table_d8"])
+    m_stack = np.asarray(ms.params["embeddings"]["table_d8"])
+    np.testing.assert_allclose(m_stack, s_stack, rtol=5e-3, atol=5e-4)
+
+
+def test_sharded_update_split_stream_matches_ref(mesh, rng, monkeypatch):
+    """Per-shard streams over the gather cliff get position-chunked inside
+    _update_body (VERDICT r4 #3): force a tiny split threshold and check
+    exact parity vs the single-device f32 reference."""
+    from recommender_system_tpu.ops.fused_adagrad import fused_adagrad_ref
+
+    monkeypatch.setenv("RST_STREAM_SPLIT_ROWS", "64")
+    cfg = FusedAdagrad(0.05)
+    R, N, dim, pack = 64, 1024, 9, 14
+    stack = rng.normal(size=(R, 128)).astype(np.float32)
+    slots = cfg.init_slots(jnp.asarray(stack))
+    lids = rng.integers(0, R * pack, N).astype(np.int32)
+    ct = rng.normal(size=(N, dim)).astype(np.float32)
+
+    ref_stack, acc = fused_adagrad_ref(
+        jnp.asarray(stack), slots[0], jnp.asarray(lids), jnp.asarray(ct),
+        pack=pack, dim=dim, lr=0.05, eps=cfg.eps)
+    got_stack, got_slots, overflow = sharded_fused_update(
+        cfg, _block_shard(mesh, jnp.asarray(stack)),
+        jax.tree.map(lambda s: _block_shard(mesh, s), slots),
+        jnp.asarray(lids), jnp.asarray(ct), mesh,
+        lr=0.05, step=jnp.int32(1), pack=pack, dim=dim,
+        stream_dtype=jnp.float32, capacity_factor=8.0)
+    assert int(overflow) == 0
+    # per-shard recv stream is 8*ceil(8*128/8)=1024 rows >> 64: the split
+    # path ran; R=64 -> 8 rows/shard takes the exact f32 XLA-ref fallback
+    np.testing.assert_allclose(np.asarray(got_stack), np.asarray(ref_stack),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_slots[0]), np.asarray(acc),
+                               rtol=1e-5, atol=1e-6)
