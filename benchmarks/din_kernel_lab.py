@@ -129,9 +129,144 @@ def pallas_per_t(q, keys_t, mask, w1, b1, w2, b2, w3, b3, tile=2048):
                       preferred_element_type=jnp.float32)
 
 
+# --- variant D: XLA, keys||qk combined 64-wide contraction -------------------
+
+def xla_fwd_c64(q, keys, mask, w1, b1, w2, b2, w3, b3, cdt=jnp.float32):
+    """Same math as din_attention_ref but the keys and q*k first-layer dots
+    are fused into ONE dot with a 64-wide contraction (vs two 32-wide): the
+    MXU contraction utilization doubles if XLA fuses the concat into the
+    dot's operand read."""
+    K = keys.shape[-1]
+    w1c = w1.astype(cdt)
+    q_c, keys_c = q.astype(cdt), keys.astype(cdt)
+    wq, wk, wm, wp = w1c[:K], w1c[K:2 * K], w1c[2 * K:3 * K], w1c[3 * K:]
+    a = jnp.dot(q_c, wq + wm, preferred_element_type=jnp.float32)
+    ck = jnp.concatenate([keys_c, q_c[:, None, :] * keys_c], axis=-1)
+    wkp = jnp.concatenate([wk - wm, wp], axis=0)
+    h = jax.nn.sigmoid(jnp.dot(ck, wkp, preferred_element_type=jnp.float32)
+                       + a[:, None, :] + b1)
+    h = jax.nn.sigmoid(jnp.dot(h.astype(cdt), w2.astype(cdt),
+                               preferred_element_type=jnp.float32) + b2)
+    score = (jnp.dot(h.astype(cdt), w3.astype(cdt),
+                     preferred_element_type=jnp.float32) + b3)[..., 0]
+    score = jax.nn.softmax(jnp.where(mask, score, NEG_INF), axis=-1)
+    return jnp.einsum("bt,btk->bk", score, keys,
+                      preferred_element_type=jnp.float32)
+
+
+# --- variant F: Pallas 8-t-slices per step over flat [B, T*K], concat128 ----
+#
+# Block constraints force last-two block dims to (8k, 128k): a key block
+# (tile, 256) on the flat [B, T*K] view covers 8 consecutive t-slices
+# (8*K = 256 lanes), and the logits output block is (8, tile) on a [T8, B]
+# array with T8 = ceil(T/8)*8.  Edge blocks past T*K read garbage — rows are
+# independent, and the XLA-side mask never selects t >= T.
+
+def _kernel_flat8(q_ref, k_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                  b3_ref, o_ref, *, cdt):
+    q = q_ref[:].astype(cdt)           # [tile, K]
+    K = q.shape[-1]
+    kblk = k_ref[:]                    # [tile, 8*K]
+    w1 = w1_ref[:].astype(cdt)
+    w2 = w2_ref[:].astype(cdt)
+    w3row = w3_ref[:][:, 0][None, :]
+    for j in range(8):
+        k = kblk[:, j * K:(j + 1) * K].astype(cdt)
+        c = jnp.concatenate([q, k, q - k, q * k], axis=-1)  # [tile, 4K=128]
+        h = jax.nn.sigmoid(
+            jnp.dot(c, w1, preferred_element_type=jnp.float32) + b1_ref[:])
+        h2 = jax.nn.sigmoid(
+            jnp.dot(h.astype(cdt), w2,
+                    preferred_element_type=jnp.float32) + b2_ref[:])
+        o_ref[j, :] = jnp.sum(h2 * w3row, axis=-1) + b3_ref[0, 0]
+
+
+def pallas_flat8(q, keys, mask, w1, b1, w2, b2, w3, b3, tile=2048,
+                 cdt=jnp.float32):
+    B, T, K = keys.shape
+    H1, H2 = w1.shape[1], w2.shape[1]
+    T8 = ((T + 7) // 8) * 8
+    kflat = keys.reshape(B, T * K)
+    logits_t = pl.pallas_call(
+        functools.partial(_kernel_flat8, cdt=cdt),
+        grid=(pl.cdiv(B, tile), T8 // 8),
+        in_specs=[
+            pl.BlockSpec((tile, K), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile, 8 * K), lambda i, j: (i, j)),
+            pl.BlockSpec((4 * K, H1), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, H1), lambda i, j: (0, 0)),
+            pl.BlockSpec((H1, H2), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, H2), lambda i, j: (0, 0)),
+            pl.BlockSpec((H2, 1), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, tile), lambda i, j: (j, i)),
+        out_shape=jax.ShapeDtypeStruct((T8, B), jnp.float32),
+    )(q, kflat, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1), w3,
+      b3.reshape(1, 1))
+    logits = logits_t[:T].T
+    score = jax.nn.softmax(jnp.where(mask, logits, NEG_INF), axis=-1)
+    return jnp.einsum("bt,btk->bk", score, keys,
+                      preferred_element_type=jnp.float32)
+
+
+# --- variant E: Pallas per-t over a flat [B, T*K] view, concat128 in VMEM ----
+#
+# No pre-transpose needed: keys.reshape(B, T*K) is a free bitcast, and
+# BlockSpec((tile, K), lambda i, t: (i, t)) addresses the t-th key slice
+# directly.  In VMEM the full [q, k, q-k, q*k] 128-wide concat IS built
+# (it is tiny there), so the first-layer dot runs at full MXU contraction —
+# the opposite tradeoff from the XLA path, where the concat is decomposed
+# to avoid a 210 MB HBM materialization.
+
+def _kernel_flat_t(q_ref, k_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                   b3_ref, o_ref, *, cdt):
+    q = q_ref[:].astype(cdt)           # [tile, K]
+    k = k_ref[:].astype(cdt)           # [tile, K]
+    c = jnp.concatenate([q, k, q - k, q * k], axis=-1)   # [tile, 4K]
+    h = jax.nn.sigmoid(
+        jnp.dot(c, w1_ref[:].astype(cdt),
+                preferred_element_type=jnp.float32) + b1_ref[:])
+    h2 = jax.nn.sigmoid(
+        jnp.dot(h.astype(cdt), w2_ref[:].astype(cdt),
+                preferred_element_type=jnp.float32) + b2_ref[:])
+    logits = jnp.sum(h2 * w3_ref[:][:, 0][None, :], axis=-1) + b3_ref[0, 0]
+    o_ref[0, :] = logits
+
+
+def pallas_flat_t(q, keys, mask, w1, b1, w2, b2, w3, b3, tile=4096,
+                  cdt=jnp.float32):
+    B, T, K = keys.shape
+    H1, H2 = w1.shape[1], w2.shape[1]
+    kflat = keys.reshape(B, T * K)
+    logits_t = pl.pallas_call(
+        functools.partial(_kernel_flat_t, cdt=cdt),
+        grid=(pl.cdiv(B, tile), T),
+        in_specs=[
+            pl.BlockSpec((tile, K), lambda i, t: (i, 0)),
+            pl.BlockSpec((tile, K), lambda i, t: (i, t)),
+            pl.BlockSpec((4 * K, H1), lambda i, t: (0, 0)),
+            pl.BlockSpec((1, H1), lambda i, t: (0, 0)),
+            pl.BlockSpec((H1, H2), lambda i, t: (0, 0)),
+            pl.BlockSpec((1, H2), lambda i, t: (0, 0)),
+            pl.BlockSpec((H2, 1), lambda i, t: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i, t: (t, i)),
+        out_shape=jax.ShapeDtypeStruct((T, B), jnp.float32),
+    )(q, kflat, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1), w3,
+      b3.reshape(1, 1))
+    logits = logits_t.T
+    score = jax.nn.softmax(jnp.where(mask, logits, NEG_INF), axis=-1)
+    return jnp.einsum("bt,btk->bk", score, keys,
+                      preferred_element_type=jnp.float32)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--tiles", default="2048")
+    ap.add_argument("--skip-xla", action="store_true")
     args = ap.parse_args()
     B, T, K, h1, h2 = args.batch, 50, 32, 80, 40
     rng = np.random.default_rng(0)
@@ -148,29 +283,37 @@ def main():
     argsf = (q, keys, mask, w1, b1, w2, b2, w3, b3)
 
     ref = jax.jit(xla_fwd)(*argsf)
-    t = bench_fn(jax.jit(xla_fwd), *argsf)
-    print(f"XLA f32           : {t*1e6:7.0f} us")
-    t = bench_fn(jax.jit(xla_fwd_bf16), *argsf)
-    print(f"XLA bf16          : {t*1e6:7.0f} us")
+    if not args.skip_xla:
+        t = bench_fn(jax.jit(xla_fwd), *argsf)
+        print(f"XLA f32           : {t*1e6:7.0f} us")
+        t = bench_fn(jax.jit(xla_fwd_bf16), *argsf)
+        print(f"XLA bf16          : {t*1e6:7.0f} us")
 
-    try:
-        out = jax.jit(pallas_3d)(*argsf)
-        err = float(jnp.max(jnp.abs(out - ref)))
-        t = bench_fn(jax.jit(pallas_3d), *argsf)
-        print(f"pallas 3d dot     : {t*1e6:7.0f} us   maxerr {err:.2e}")
-    except Exception as e:
-        print(f"pallas 3d dot     : FAILED {type(e).__name__}: {e}")
+    # pallas_3d and pallas_per_t are kept above for the record but skipped:
+    # 3d OOMs VMEM (the [tile, T, K] block lane-pads K=32 -> 128, 4x), and
+    # per_t's (1, tile) output block violates the (8, 128) divisibility rule.
 
-    keys_t = jnp.swapaxes(keys, 0, 1)
-    argst = (q, keys_t, mask, w1, b1, w2, b2, w3, b3)
-    try:
-        out = jax.jit(pallas_per_t)(*argst)
-        err = float(jnp.max(jnp.abs(out - ref)))
-        t = bench_fn(jax.jit(pallas_per_t), *argst)
-        print(f"pallas per-t [T,B]: {t*1e6:7.0f} us   maxerr {err:.2e} "
-              f"(excl. transpose)")
-    except Exception as e:
-        print(f"pallas per-t [T,B]: FAILED {type(e).__name__}: {e}")
+    if not args.skip_xla:
+        for cdt, nm in ((jnp.float32, "f32 "), (jnp.bfloat16, "bf16")):
+            f = jax.jit(functools.partial(xla_fwd_c64, cdt=cdt))
+            out = f(*argsf)
+            err = float(jnp.max(jnp.abs(out - ref)))
+            t = bench_fn(f, *argsf)
+            print(f"XLA c64 {nm}      : {t*1e6:7.0f} us   maxerr {err:.2e}")
+
+    for tile in tuple(int(x) for x in args.tiles.split(",")):
+        for cdt, nm in ((jnp.float32, "f32 "), (jnp.bfloat16, "bf16")):
+            try:
+                f = jax.jit(functools.partial(pallas_flat8, tile=tile,
+                                              cdt=cdt))
+                out = f(*argsf)
+                err = float(jnp.max(jnp.abs(out - ref)))
+                t = bench_fn(f, *argsf)
+                print(f"pallas flat8 {nm} tile={tile:5d}: {t*1e6:7.0f} us"
+                      f"   maxerr {err:.2e}")
+            except Exception as e:
+                print(f"pallas flat8 {nm} tile={tile:5d}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}")
 
 
 if __name__ == "__main__":

@@ -28,7 +28,7 @@ def din_attention(query, keys, mask, w1, b1, w2, b2, w3, b3,
                   return_scores: bool = False,
                   use_pallas: Optional[bool] = None,
                   dtype=None,
-                  remat: bool = True):
+                  remat: bool = False):
     """query [B,K], keys [B,T,K], mask [B,T] -> pooled [B,K] (or scores [B,T]).
 
     ``dtype`` sets the scorer compute dtype on the XLA path (f32 accumulation,

@@ -253,33 +253,19 @@ def _prep_update_stream_multi(stack, sites, *, pack, dim, tile_rows, chunk,
     n_sub = -(-num_rows // tile_rows)
     bounds = jnp.arange(n_sub + 1, dtype=jnp.int32) * tile_rows
 
-    # batch the pair sorts of same-length sites that arrive unsorted (the
-    # big varlen sites: blocked_sort can't pack id+index into int31 at
-    # vocab 200k x 409k rows): lax.sort runs batched rows in parallel, so
-    # DIEN's hist + neg-hist sorts cost ~one sort instead of two
-    # (VERDICT r4 #6; the sown-presorted single-site path is unchanged)
-    by_len: dict = {}
-    for i, (lids, _ct, presorted) in enumerate(sites):
-        if presorted is None:
-            by_len.setdefault(int(lids.shape[0]), []).append(i)
-    batched_sorts = {}
-    for N, idxs in by_len.items():
-        if len(idxs) < 2:
-            continue
-        ids2 = jnp.stack([sites[i][0].astype(jnp.int32) for i in idxs])
-        iota2 = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32),
-                                 (len(idxs), N))
-        slid2, order2 = jax.lax.sort([ids2, iota2], num_keys=1)
-        for k, i in enumerate(idxs):
-            batched_sorts[i] = (slid2[k], order2[k])
-
+    # NOTE (negative result, 2026-08-21): batching the pair sorts of
+    # same-length unsorted sites into ONE [S, N] variadic lax.sort (VERDICT
+    # r4 #6, "one sort instead of two" for DIEN's hist + neg-hist) was
+    # measured at MODEL level and regresses badly — XLA's batched variadic
+    # sort is far slower than S independent 1-D sorts: DIN 16384 17.8 ->
+    # 21.4 ms, DIEN 8192 20.6 -> 23.9 ms (model_step --fused, real chip).
+    # Per-site 1-D pair sorts stay.  (blocked_sort can't help these sites:
+    # vocab 200k x 409k rows exceeds the int31 packed-key budget.)
     seg_sids, seg_sg = [], []
     first_chunks, counts_list = [], []
     base = 0  # running chunk offset of this site's region
     for site_i, (lids, ct, presorted) in enumerate(sites):
         N = lids.shape[0]
-        if presorted is None:
-            presorted = batched_sorts.get(site_i)
         if presorted is not None:
             slid = presorted[0].astype(jnp.int32)
             order = presorted[1].astype(jnp.int32)

@@ -189,9 +189,11 @@ def test_split_oversize_sites_preserves_semantics():
 
 
 def test_multi_stream_batched_sort_same_length_sites():
-    """Same-length unsorted sites (DIEN's hist + neg-hist) go through ONE
-    batched lax.sort (VERDICT r4 #6) — semantics must stay exactly the
-    concatenated single stream's."""
+    """Same-length unsorted sites (DIEN's hist + neg-hist shape) must stay
+    exactly equivalent to the concatenated single stream — whatever sort
+    strategy the queue uses internally (the batched variadic sort tried for
+    VERDICT r4 #6 was reverted as a measured model-level regression; this
+    parity contract is strategy-independent)."""
     rng = np.random.default_rng(5)
     rows, L, pack, dim = 128, 128, 4, 32
     stack = jnp.asarray(rng.normal(size=(rows, L)).astype(np.float32))
