@@ -134,6 +134,10 @@ def main():
     ap.add_argument("--dnn-dtype", default=None,
                     choices=["bfloat16", "float32"],
                     help="tower/scorer compute dtype (default: float32)")
+    ap.add_argument("--step-only", action="store_true",
+                    help="skip the fwd / fwd+bwd timings (one compile "
+                         "instead of three — FFM's O(F^2) backward graph "
+                         "takes >20 min per compile through the tunnel)")
     args = ap.parse_args()
 
     from recommender_system_tpu.training import FusedAdagrad, Trainer
@@ -155,9 +159,10 @@ def main():
             variables["batch_stats"] = batch_stats
         return model.apply(variables, batch, train=False)
 
-    t_fwd = timeit(fwd, state.params, state.batch_stats, batch)
-    print(f"forward only:     {t_fwd*1e3:8.3f} ms "
-          f"({args.batch/t_fwd:,.0f} ex/s)")
+    if not args.step_only:
+        t_fwd = timeit(fwd, state.params, state.batch_stats, batch)
+        print(f"forward only:     {t_fwd*1e3:8.3f} ms "
+              f"({args.batch/t_fwd:,.0f} ex/s)")
 
     @jax.jit
     def fwdbwd(params, batch_stats, batch, labels):
@@ -174,9 +179,11 @@ def main():
             return lf(out, labels, batch)
         return jax.grad(loss)(params)
 
-    t_bwd = timeit(fwdbwd, state.params, state.batch_stats, batch, labels)
-    print(f"forward+backward: {t_bwd*1e3:8.3f} ms "
-          f"(bwd ~{(t_bwd-t_fwd)*1e3:.3f})")
+    if not args.step_only:
+        t_bwd = timeit(fwdbwd, state.params, state.batch_stats, batch,
+                       labels)
+        print(f"forward+backward: {t_bwd*1e3:8.3f} ms "
+              f"(bwd ~{(t_bwd-t_fwd)*1e3:.3f})")
 
     step = trainer._make_train_step()
     s, _ = step(state, batch, labels)
