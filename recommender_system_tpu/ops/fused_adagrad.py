@@ -49,12 +49,27 @@ def _lane_shift_matmul(ct: jax.Array, slot: jax.Array, pack: int, dim: int,
     lane-gather of ``_lane_shift`` (measured 0.22 vs 0.5 ms at N=213k on
     v5e); costs one matmul rounding, same as the downstream bf16 contraction.
     """
+    return _slot_mask(_lane_tile_matmul(ct, pack, dim, out_dtype), slot, dim)
+
+
+def _lane_tile_matmul(ct, pack, dim, out_dtype):
+    """The replication half of :func:`_lane_shift_matmul`: [N, d] -> [N, 128]
+    with each row copied into every pack slot (no slot mask yet)."""
     lanes = jnp.arange(128)
     sel = ((lanes[None, :] % dim) == jnp.arange(dim)[:, None]) & (
         lanes < pack * dim)[None, :]
-    tiled = jnp.dot(ct.astype(out_dtype), sel.astype(out_dtype),
-                    preferred_element_type=out_dtype)
-    mask = (lanes[None, :] // dim) == slot[:, None]
+    return jnp.dot(ct.astype(out_dtype), sel.astype(out_dtype),
+                   preferred_element_type=out_dtype)
+
+
+def _slot_mask(tiled, slot, dim):
+    """Keep one pack-slot copy per row: ``out[n, l] = tiled[n, l]`` iff
+    ``l // dim == slot[n]``.  Applied AFTER the cotangent-reorder gather in
+    the stream preps so XLA output-fuses it into the gather instead of
+    materializing a standalone [N, 128] select pass (a measured
+    0.33 ms/site at the DIEN shape; the mask commutes with the row gather
+    because it is per-row)."""
+    mask = (jnp.arange(128)[None, :] // dim) == slot[:, None]
     return jnp.where(mask, tiled, jnp.zeros((), tiled.dtype))
 
 
@@ -117,34 +132,42 @@ def _build_queue_sparse(sids: jax.Array, n: int, num_rows: int,
     return w_sub, w_chunk.astype(jnp.int32), W, n_sub, pad_chunk
 
 
+def _chunk_onehot(sids_ref, sub, tile_rows, chunk):
+    """[tile_rows, chunk] bf16 one-hot of this chunk's subtile-local ids.
+
+    bf16 operands -> single-pass MXU (f32 inputs default to the multi-pass
+    path: measured 4.0ms vs ~1ms for this kernel); f32 accumulation. Build
+    the onehot in f32 first — an i1 mask from an int32 compare has (8,128)
+    tiling and Mosaic cannot replicate it into bf16's (16,128) lanes
+    directly."""
+    local = sids_ref[0, :] - sub * tile_rows                 # [chunk]
+    row_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_rows, chunk), 0)
+    return jnp.where(row_iota == local[None, :], jnp.float32(1),
+                     jnp.float32(0)).astype(jnp.bfloat16)
+
+
 def _fused_adagrad_kernel(wsub_ref, wchunk_ref, hyper_ref, sids_ref,
                           sgrads_ref, param_ref, acc_ref,
                           param_out_ref, acc_out_ref, gacc,
                           *, tile_rows: int, chunk: int, W: int,
-                          pad_chunk: int, eps: float):
+                          pad_chunk: int, eps: float, zero=True,
+                          accumulate=True):
     w = pl.program_id(0)
     sub = wsub_ref[w]
     prev = wsub_ref[jnp.maximum(w - 1, 0)]
 
-    @pl.when((w == 0) | (prev != sub))
-    def _zero():
-        gacc[:] = jnp.zeros_like(gacc)
+    if zero:
+        @pl.when((w == 0) | (prev != sub))
+        def _zero():
+            gacc[:] = jnp.zeros_like(gacc)
 
-    @pl.when(wchunk_ref[w] != pad_chunk)
-    def _accumulate():
-        base = sub * tile_rows
-        local = sids_ref[0, :] - base                        # [chunk]
-        row_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (tile_rows, chunk), 0)
-        # bf16 operands -> single-pass MXU (f32 inputs default to the
-        # multi-pass path: measured 4.0ms vs ~1ms for this kernel); f32
-        # accumulation. Build the onehot in f32 first — an i1 mask from an
-        # int32 compare has (8,128) tiling and Mosaic cannot replicate it
-        # into bf16's (16,128) lanes directly.
-        onehot = jnp.where(row_iota == local[None, :], jnp.float32(1),
-                           jnp.float32(0)).astype(jnp.bfloat16)
-        gacc[:] += jnp.dot(onehot, sgrads_ref[:].astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
+    if accumulate:
+        @pl.when(wchunk_ref[w] != pad_chunk)
+        def _accumulate():
+            onehot = _chunk_onehot(sids_ref, sub, tile_rows, chunk)
+            gacc[:] += jnp.dot(onehot, sgrads_ref[:].astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
 
     nxt = wsub_ref[jnp.minimum(w + 1, W - 1)]
 
@@ -220,9 +243,16 @@ def _prep_update_stream(stack, lids, ct, *, pack, dim, tile_rows, chunk,
             sg = ct.astype(stream_dtype)
             if L > dim:
                 sg = jnp.pad(sg, ((0, 0), (0, L - dim)))
+            sg_p = jax.lax.optimization_barrier(
+                jnp.take(sg, order_p, axis=0))
         else:
-            sg = _lane_shift_matmul(ct, lids % pack, pack, dim, stream_dtype)
-        sg_p = jax.lax.optimization_barrier(jnp.take(sg, order_p, axis=0))
+            # slot mask AFTER the reorder gather: output-fuses into the
+            # gather (the pre-gather mask was a standalone [N,128] select
+            # pass); sorted slots come free from the sorted ids
+            tiled = _lane_tile_matmul(ct, pack, dim, stream_dtype)
+            slot_p = jnp.pad(slid % pack, (0, n_pad - N))
+            sg_p = jax.lax.optimization_barrier(_slot_mask(
+                jnp.take(tiled, order_p, axis=0), slot_p, dim))
     sids_p = jnp.full((1, n_pad), _SENTINEL, jnp.int32).at[0, :N].set(swid)
     return w_sub, w_chunk, W, n_sub, pad_chunk, sids_p, sg_p, tile_rows
 
@@ -261,7 +291,7 @@ def _prep_update_stream_multi(stack, sites, *, pack, dim, tile_rows, chunk,
     # 21.4 ms, DIEN 8192 20.6 -> 23.9 ms (model_step --fused, real chip).
     # Per-site 1-D pair sorts stay.  (blocked_sort can't help these sites:
     # vocab 200k x 409k rows exceeds the int31 packed-key budget.)
-    seg_sids, seg_sg = [], []
+    seg_sids, seg_sg, site_bases = [], [], []
     first_chunks, counts_list = [], []
     base = 0  # running chunk offset of this site's region
     for site_i, (lids, ct, presorted) in enumerate(sites):
@@ -278,27 +308,36 @@ def _prep_update_stream_multi(stack, sites, *, pack, dim, tile_rows, chunk,
         n_pad = n_chunks * chunk
         order_p = jnp.pad(order, (0, n_pad - N))
         # shift-first (matmul output is row-major bf16, the layout the fast
-        # per-row gather wants); each site's source is below the cliff
+        # per-row gather wants); each site's source is below the cliff; the
+        # slot mask runs AFTER the gather so it output-fuses into it
         if pack == 1:
             sg = ct.astype(stream_dtype)
             if L > dim:
                 sg = jnp.pad(sg, ((0, 0), (0, L - dim)))
+            sg_p = jax.lax.optimization_barrier(
+                jnp.take(sg, order_p, axis=0))
         else:
-            sg = _lane_shift_matmul(ct, lids % pack, pack, dim, stream_dtype)
-        sg_p = jax.lax.optimization_barrier(jnp.take(sg, order_p, axis=0))
+            tiled = _lane_tile_matmul(ct, pack, dim, stream_dtype)
+            slot_p = jnp.pad(slid % pack, (0, n_pad - N))
+            sg_p = jax.lax.optimization_barrier(_slot_mask(
+                jnp.take(tiled, order_p, axis=0), slot_p, dim))
         seg_sids.append(jnp.full((n_pad,), _SENTINEL, jnp.int32)
                         .at[:N].set(swid))
         seg_sg.append(sg_p)
+        site_bases.append(base)
         first_chunk, counts = _stream_chunk_counts(swid, bounds, chunk)
         counts_list.append(counts)
         first_chunks.append(base + first_chunk)
         base += n_chunks
-    # one global pad chunk at the very end of the concatenation
+    # the global pad-chunk id lives one past the last real chunk; only the
+    # SIDS concatenation materializes it (3.3 MB of int32) — the heavy
+    # [*, L] streams stay SEPARATE per site and are fed to the kernel as
+    # separate operands (the trace showed the old jnp.concatenate of the
+    # per-site streams costing 1.13 ms/step at the DIEN shape: a pure
+    # 836k x 128 bf16 copy the kernel never needed)
     pad_chunk = base
     seg_sids.append(jnp.full((chunk,), _SENTINEL, jnp.int32))
-    seg_sg.append(jnp.zeros((chunk, L), stream_dtype))
     sids_all = jnp.concatenate(seg_sids)[None, :]
-    sg_all = jnp.concatenate(seg_sg, axis=0)
 
     S = len(sites)
     FC = jnp.stack(first_chunks, axis=1)       # [n_sub, S] global chunk base
@@ -317,8 +356,9 @@ def _prep_update_stream_multi(stack, sites, *, pack, dim, tile_rows, chunk,
     w_chunk = jnp.take_along_axis(
         FC[sub_c], s_idx[:, None], axis=1)[:, 0] + w_in_site
     w_chunk = jnp.where(w_idx < total, w_chunk, pad_chunk)
+    w_site = jnp.where(w_idx < total, s_idx, 0).astype(jnp.int32)
     return (w_sub, w_chunk.astype(jnp.int32), W, n_sub, pad_chunk,
-            sids_all, sg_all, tile_rows)
+            sids_all, seg_sg, site_bases, w_site, tile_rows)
 
 
 def stream_split_rows() -> int:
@@ -362,20 +402,104 @@ def _run_fused_kernel(kernel_body, hyper_vals, stack, states, lids, ct, *,
     params. Returns (new_stack, *new_states).
     """
     num_rows, L = stack.shape
-    if sites is not None:
-        (w_sub, w_chunk, W, n_sub, pad_chunk, sids_p, sg_p, tile_rows) = \
-            _prep_update_stream_multi(
-                stack, split_oversize_sites(sites), pack=pack, dim=dim,
-                tile_rows=tile_rows, chunk=chunk, stream_dtype=stream_dtype)
-    else:
-        (w_sub, w_chunk, W, n_sub, pad_chunk, sids_p, sg_p, tile_rows) = \
-            _prep_update_stream(stack, lids, ct, pack=pack, dim=dim,
-                                tile_rows=tile_rows, chunk=chunk,
-                                stream_dtype=stream_dtype, presorted=presorted,
-                                reorder=reorder)
     hyper = jnp.asarray(hyper_vals, jnp.float32)
-    n_pad = sids_p.shape[1]
     n_bufs = 1 + len(states)
+
+    if sites is not None:
+        # Split-stream path: the per-site sorted streams stay SEPARATE
+        # kernel operands — no [total, L] concatenation is ever built (a
+        # measured 1.13 ms/step pure copy at the DIEN 836k-row shape). Each
+        # site operand's index map clamps the global chunk id into its own
+        # range, so an inactive operand's block index is CONSTANT while
+        # other sites stream (Pallas only re-DMAs a block when its index
+        # changes): total stream DMA stays ~= the stream bytes. A tiny
+        # pl.when chain copies the active block into VMEM scratch and the
+        # unchanged single-stream kernel body runs against the scratch.
+        (w_sub, w_chunk, W, n_sub, pad_chunk, sids_p, seg_sg, site_bases,
+         w_site, tile_rows) = _prep_update_stream_multi(
+            stack, split_oversize_sites(sites), pack=pack, dim=dim,
+            tile_rows=tile_rows, chunk=chunk, stream_dtype=stream_dtype)
+        n_pad = sids_p.shape[1]
+        S = len(seg_sg)
+        site_nchunks = [int(sg.shape[0]) // chunk for sg in seg_sg]
+
+        body = functools.partial(
+            kernel_body, tile_rows=tile_rows, chunk=chunk, W=W,
+            pad_chunk=pad_chunk, zero=False, accumulate=False,
+            **extra_static)
+
+        def wrapper(ws_ref, wc_ref, wst_ref, hy_ref, sids_ref, *rest):
+            sg_refs = rest[:S]
+            bufs = rest[S:S + n_bufs]
+            outs = rest[S + n_bufs:S + 2 * n_bufs]
+            gacc = rest[S + 2 * n_bufs]
+            w = pl.program_id(0)
+            sub = ws_ref[w]
+            prev = ws_ref[jnp.maximum(w - 1, 0)]
+
+            # zero -> accumulate -> apply, in that order: the wrapper owns
+            # zero + accumulate (the dot predicated on the active site, so
+            # inactive blocks are neither copied nor re-DMA'd); the body
+            # contributes only the optimizer apply (zero/accumulate=False)
+            @pl.when((w == 0) | (prev != sub))
+            def _zero():
+                gacc[:] = jnp.zeros_like(gacc)
+
+            @pl.when(wc_ref[w] != pad_chunk)
+            def _accumulate():
+                onehot = _chunk_onehot(sids_ref, sub, tile_rows, chunk)
+                site = wst_ref[w]
+                for s in range(S):
+                    @pl.when(site == s)
+                    def _(s=s):
+                        gacc[:] += jnp.dot(
+                            onehot, sg_refs[s][:].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+
+            body(ws_ref, wc_ref, hy_ref, sids_ref, sg_refs[0], *bufs,
+                 *outs, gacc)
+
+        def site_spec(base, cnt):
+            return pl.BlockSpec(
+                (chunk, L),
+                lambda w, ws, wc, wst, hy, base=base, cnt=cnt: (
+                    jnp.minimum(jnp.maximum(wc[w] - base, 0), cnt - 1), 0))
+
+        tile_spec = lambda w, ws, wc, wst, hy: (ws[w], 0)  # noqa: E731
+        outs = pl.pallas_call(
+            wrapper,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,  # w_sub, w_chunk, w_site, hyper
+                grid=(W,),
+                in_specs=[
+                    pl.BlockSpec((1, chunk),
+                                 lambda w, ws, wc, wst, hy: (0, wc[w])),
+                ] + [site_spec(b, c)
+                     for b, c in zip(site_bases, site_nchunks)]
+                + [pl.BlockSpec((tile_rows, L), tile_spec)] * n_bufs,
+                out_specs=[pl.BlockSpec((tile_rows, L), tile_spec)] * n_bufs,
+                scratch_shapes=[pltpu.VMEM((tile_rows, L), jnp.float32)],
+            ),
+            out_shape=[jax.ShapeDtypeStruct((num_rows, L),
+                                            jnp.float32)] * n_bufs,
+            # param/state buffers update in place
+            input_output_aliases={5 + S + i: i for i in range(n_bufs)},
+            interpret=dispatch.interpret_mode(),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * W * tile_rows * chunk * L,
+                bytes_accessed=2 * n_pad * L + 4 * n_pad
+                + 4 * 2 * n_bufs * n_sub * tile_rows * L,
+                transcendentals=W * tile_rows * L,
+            ),
+        )(w_sub, w_chunk, w_site, hyper, sids_p, *seg_sg, stack, *states)
+        return tuple(outs)
+
+    (w_sub, w_chunk, W, n_sub, pad_chunk, sids_p, sg_p, tile_rows) = \
+        _prep_update_stream(stack, lids, ct, pack=pack, dim=dim,
+                            tile_rows=tile_rows, chunk=chunk,
+                            stream_dtype=stream_dtype, presorted=presorted,
+                            reorder=reorder)
+    n_pad = sids_p.shape[1]
 
     kernel = functools.partial(
         kernel_body, tile_rows=tile_rows, chunk=chunk, W=W,
@@ -463,24 +587,23 @@ def fused_adagrad_ref(stack, acc, lids, ct, *, pack, dim, lr, eps=1e-7):
 
 def _fused_sgd_kernel(wsub_ref, wchunk_ref, hyper_ref, sids_ref, sgrads_ref,
                       param_ref, param_out_ref, gacc,
-                      *, tile_rows: int, chunk: int, W: int, pad_chunk: int):
+                      *, tile_rows: int, chunk: int, W: int, pad_chunk: int,
+                      zero=True, accumulate=True):
     w = pl.program_id(0)
     sub = wsub_ref[w]
     prev = wsub_ref[jnp.maximum(w - 1, 0)]
 
-    @pl.when((w == 0) | (prev != sub))
-    def _zero():
-        gacc[:] = jnp.zeros_like(gacc)
+    if zero:
+        @pl.when((w == 0) | (prev != sub))
+        def _zero():
+            gacc[:] = jnp.zeros_like(gacc)
 
-    @pl.when(wchunk_ref[w] != pad_chunk)
-    def _accumulate():
-        base = sub * tile_rows
-        local = sids_ref[0, :] - base
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, chunk), 0)
-        onehot = jnp.where(row_iota == local[None, :], jnp.float32(1),
-                           jnp.float32(0)).astype(jnp.bfloat16)
-        gacc[:] += jnp.dot(onehot, sgrads_ref[:].astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
+    if accumulate:
+        @pl.when(wchunk_ref[w] != pad_chunk)
+        def _accumulate():
+            onehot = _chunk_onehot(sids_ref, sub, tile_rows, chunk)
+            gacc[:] += jnp.dot(onehot, sgrads_ref[:].astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
 
     nxt = wsub_ref[jnp.minimum(w + 1, W - 1)]
 
@@ -521,24 +644,23 @@ def _fused_adam_kernel(wsub_ref, wchunk_ref, hyper_ref, sids_ref, sgrads_ref,
                        param_ref, m_ref, v_ref,
                        param_out_ref, m_out_ref, v_out_ref, gacc,
                        *, tile_rows: int, chunk: int, W: int, pad_chunk: int,
-                       b1: float, b2: float, eps: float, dim: int):
+                       b1: float, b2: float, eps: float, dim: int,
+                       zero=True, accumulate=True):
     w = pl.program_id(0)
     sub = wsub_ref[w]
     prev = wsub_ref[jnp.maximum(w - 1, 0)]
 
-    @pl.when((w == 0) | (prev != sub))
-    def _zero():
-        gacc[:] = jnp.zeros_like(gacc)
+    if zero:
+        @pl.when((w == 0) | (prev != sub))
+        def _zero():
+            gacc[:] = jnp.zeros_like(gacc)
 
-    @pl.when(wchunk_ref[w] != pad_chunk)
-    def _accumulate():
-        base = sub * tile_rows
-        local = sids_ref[0, :] - base
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, chunk), 0)
-        onehot = jnp.where(row_iota == local[None, :], jnp.float32(1),
-                           jnp.float32(0)).astype(jnp.bfloat16)
-        gacc[:] += jnp.dot(onehot, sgrads_ref[:].astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
+    if accumulate:
+        @pl.when(wchunk_ref[w] != pad_chunk)
+        def _accumulate():
+            onehot = _chunk_onehot(sids_ref, sub, tile_rows, chunk)
+            gacc[:] += jnp.dot(onehot, sgrads_ref[:].astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
 
     nxt = wsub_ref[jnp.minimum(w + 1, W - 1)]
 
