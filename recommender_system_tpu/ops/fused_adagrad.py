@@ -65,10 +65,16 @@ def _lane_tile_matmul(ct, pack, dim, out_dtype):
 def _slot_mask(tiled, slot, dim):
     """Keep one pack-slot copy per row: ``out[n, l] = tiled[n, l]`` iff
     ``l // dim == slot[n]``.  Applied AFTER the cotangent-reorder gather in
-    the stream preps so XLA output-fuses it into the gather instead of
-    materializing a standalone [N, 128] select pass (a measured
-    0.33 ms/site at the DIEN shape; the mask commutes with the row gather
-    because it is per-row)."""
+    the stream preps. The mask commutes with the row gather (it is
+    per-row), so both placements are legal; both were measured at the DIEN
+    shape (real chip, 2026-08-21): the post-gather placement compiles to a
+    standalone multi-output compare-select fusion over the gathered
+    streams (0.87 ms/step across two 409k-row sites in the step trace —
+    it does NOT epilogue-fuse into the gather), but moving it pre-gather
+    in batch order right after the lane-tile dot (hoping for dot-epilogue
+    fusion) measured WORSE end-to-end (DIEN 8192 bf16 full step 19.58 ms
+    vs 19.28-19.44 post-gather). Post-gather stays as the measured-best
+    placement."""
     mask = (jnp.arange(128)[None, :] // dim) == slot[:, None]
     return jnp.where(mask, tiled, jnp.zeros((), tiled.dtype))
 
